@@ -1,0 +1,23 @@
+"""Test environment: force an 8-device virtual CPU platform.
+
+This is the idiomatic JAX substitute for multi-node testing without a cluster
+(the reference only exercises multi-GPU by actually launching DeepSpeed,
+/root/reference/README.md:188-194 — we instead unit-test sharding on host
+devices).
+
+Note: this image pre-imports jax from sitecustomize (TPU backend plugin), so
+env vars alone are too late; we set XLA_FLAGS before any backend initializes
+and switch the platform through jax.config.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_default_matmul_precision", "highest")
