@@ -137,7 +137,9 @@ def test_dpmpp_oracle_recovers_x0(sched):
     ts = dpmpp_timesteps(1000, 10)
     xt = add_noise(sched, x0, eps, jnp.array([int(ts[0])]))
     out = sample_loop(sched, xt, ts, _oracle_eps(sched, x0), sampler="dpmpp")
-    np.testing.assert_allclose(np.asarray(out), np.asarray(x0), atol=7e-2)
+    # terminal knot keeps sqrt(1-ā₀)·ε ≈ 0.03·ε of noise (exact solver residual)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x0), atol=0.2)
+    assert float(jnp.abs(out - x0).mean()) < 0.03
 
 
 def test_dpmpp_step_is_scan_safe(sched):
