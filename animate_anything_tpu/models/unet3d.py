@@ -120,7 +120,9 @@ class UNet3DConditionModel(nn.Module):
         # 3. input conv (5-ch masked path via conv_in2, else conv_in)
         if cfg.motion_mask and mask is not None:
             m = jnp.broadcast_to(mask.astype(sample.dtype), (b, nf) + mask.shape[2:])
-            x = jnp.concatenate([sample, m], axis=-1)
+            # mask channel FIRST (reference cat([mask, sample], dim=channel),
+            # unet_3d_condition_mask.py:425) → conv_in2 weights import 1:1
+            x = jnp.concatenate([m, sample], axis=-1)
             x = x.reshape(b * nf, hh, ww, cfg.in_channels + 1)
             x = nn.Conv(ch0, (3, 3), padding=1, dtype=self.dtype, name="conv_in2")(x)
         else:

@@ -1,0 +1,160 @@
+"""VAE / CLIP model tests + torch-interop round-trip tests.
+
+The round-trip (flax params → diffusers-named torch state dict → import →
+strict align) proves the naming/layout maps are mutually consistent and cover
+every parameter; loading a real reference checkpoint exercises the same path.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from animate_anything_tpu.models import UNet3DConditionModel, UNet3DConfig
+from animate_anything_tpu.models.clip_text import CLIPTextConfig, CLIPTextModel
+from animate_anything_tpu.models.vae import (
+    AutoencoderKL,
+    VAEConfig,
+    decode_video,
+    encode_video,
+)
+from animate_anything_tpu.utils.import_torch import (
+    align_to_params,
+    convert_clip_text,
+    convert_unet3d,
+    convert_vae,
+    expand_conv_in_channels,
+    export_clip_text,
+    export_unet3d,
+    export_vae,
+)
+
+
+@pytest.fixture(scope="module")
+def tiny_vae():
+    cfg = VAEConfig.tiny()
+    vae = AutoencoderKL(cfg)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 32, 32, 3))
+    params = vae.init(jax.random.PRNGKey(1), x)
+    return cfg, vae, params
+
+
+def test_vae_shapes(tiny_vae):
+    cfg, vae, params = tiny_vae
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 32, 32, 3))
+    z = vae.apply(params, x, method=AutoencoderKL.encode)
+    assert z.shape == (2, 4, 4, 4)
+    y = vae.apply(params, z, True, method=AutoencoderKL.decode)
+    assert y.shape == (2, 32, 32, 3)
+
+
+def test_vae_video_roundtrip_shapes(tiny_vae):
+    cfg, vae, params = tiny_vae
+    vid = jax.random.normal(jax.random.PRNGKey(0), (1, 4, 32, 32, 3))
+    z = encode_video(vae, params, vid)
+    assert z.shape == (1, 4, 4, 4, 4)
+    out = decode_video(vae, params, z)
+    assert out.shape == (1, 4, 32, 32, 3)
+    out_chunked = decode_video(vae, params, z, chunk_size=2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out_chunked), atol=1e-5)
+
+
+def test_vae_posterior_sampling(tiny_vae):
+    _, vae, params = tiny_vae
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 32, 32, 3))
+    z_mode = vae.apply(params, x, method=AutoencoderKL.encode)
+    z_samp = vae.apply(params, x, jax.random.PRNGKey(7), method=AutoencoderKL.encode)
+    assert float(jnp.abs(z_mode - z_samp).max()) > 0
+
+
+def test_clip_text_shapes():
+    cfg = CLIPTextConfig.tiny()
+    model = CLIPTextModel(cfg)
+    ids = jnp.array([[1, 2, 3, 4, 0, 0, 0, 0]])
+    params = model.init(jax.random.PRNGKey(0), ids)
+    out = model.apply(params, ids)
+    assert out.shape == (1, 8, 32)
+
+
+def test_clip_text_causal():
+    """Changing a later token must not affect earlier positions."""
+    cfg = CLIPTextConfig.tiny()
+    model = CLIPTextModel(cfg)
+    ids1 = jnp.array([[1, 2, 3, 4]])
+    ids2 = jnp.array([[1, 2, 3, 9]])
+    params = model.init(jax.random.PRNGKey(0), ids1)
+    o1 = model.apply(params, ids1)
+    o2 = model.apply(params, ids2)
+    np.testing.assert_allclose(np.asarray(o1[0, :3]), np.asarray(o2[0, :3]), atol=1e-5)
+    assert float(jnp.abs(o1[0, 3] - o2[0, 3]).max()) > 1e-4
+
+
+def _roundtrip(params, export_fn, convert_fn):
+    sd = export_fn(params)
+    # all torch-side names must use diffusers list syntax, not flax underscores
+    for k in sd:
+        assert "blocks_" not in k and "resnets_" not in k and "layers_" not in k, k
+    imported = convert_fn(sd)
+    aligned, missing, unexpected = align_to_params(imported, params, strict=True)
+    chex = jax.tree_util.tree_all(
+        jax.tree_util.tree_map(
+            lambda a, b: np.allclose(np.asarray(a), np.asarray(b)),
+            aligned["params"],
+            params["params"],
+        )
+    )
+    assert chex
+    return sd
+
+
+def test_unet3d_torch_roundtrip():
+    cfg = UNet3DConfig.tiny(motion_mask=True, motion_strength=True)
+    model = UNet3DConditionModel(cfg)
+    sample = jnp.zeros((1, 2, 16, 16, 4))
+    cond = jnp.zeros((1, 1, 16, 16, 4))
+    mask = jnp.ones((1, 1, 16, 16, 1))
+    text = jnp.zeros((1, 7, 32))
+    params = model.init(
+        jax.random.PRNGKey(0), sample, jnp.array(1), text, cond, mask, jnp.array([1.0])
+    )
+    sd = _roundtrip(params, export_unet3d, convert_unet3d)
+    # spot-check diffusers-exact key names and layouts
+    assert "conv_in2.weight" in sd and sd["conv_in2.weight"].shape[1] == 5
+    assert "down_blocks.0.attentions.0.transformer_blocks.0.attn2.to_k.weight" in sd
+    assert "down_blocks.0.temp_convs.0.conv1.0.weight" in sd  # GN inside Sequential
+    assert sd["down_blocks.0.temp_convs.0.conv1.2.weight"].ndim == 5
+    assert "time_embedding.cond_proj.weight" in sd
+    assert "transformer_in.proj_in.weight" in sd
+
+
+def test_vae_torch_roundtrip(tiny_vae):
+    _, _, params = tiny_vae
+    sd = _roundtrip(params, export_vae, convert_vae)
+    assert "encoder.down_blocks.0.downsamplers.0.conv.weight" in sd
+    assert "decoder.mid_block.attentions.0.to_q.weight" in sd
+    assert "quant_conv.weight" in sd
+
+
+def test_clip_torch_roundtrip():
+    cfg = CLIPTextConfig.tiny()
+    model = CLIPTextModel(cfg)
+    params = model.init(jax.random.PRNGKey(0), jnp.array([[1, 2, 3]]))
+    sd = _roundtrip(params, export_clip_text, convert_clip_text)
+    assert "text_model.encoder.layers.0.self_attn.q_proj.weight" in sd
+    assert "text_model.embeddings.token_embedding.weight" in sd
+    assert "text_model.final_layer_norm.weight" in sd
+
+
+def test_import_drops_unused_reference_params():
+    from animate_anything_tpu.utils.import_torch import _rename_unet3d
+
+    assert _rename_unet3d("motion_embedding.0.weight") is None
+    assert _rename_unet3d("down_blocks.0.attentions.0.transformer_blocks.0.attn1.to_out.1.weight") is None
+
+
+def test_expand_conv_in_channels():
+    k = np.ones((3, 3, 4, 8), np.float32)
+    k2 = expand_conv_in_channels(k, 5)
+    assert k2.shape == (3, 3, 5, 8)
+    np.testing.assert_allclose(k2[:, :, :4], 1.0)
+    np.testing.assert_allclose(k2[:, :, 4:], 0.0)
