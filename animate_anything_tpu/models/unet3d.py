@@ -118,7 +118,12 @@ class UNet3DConditionModel(nn.Module):
         context = jnp.repeat(encoder_hidden_states.astype(self.dtype), nf, axis=0)
 
         # 3. input conv (5-ch masked path via conv_in2, else conv_in)
-        if cfg.motion_mask and mask is not None:
+        if cfg.motion_mask and mask is None:
+            raise ValueError(
+                "motion_mask model requires a mask (pass all-ones to animate "
+                "everything — the reference eval does the same, train.py:750-758)"
+            )
+        if cfg.motion_mask:
             m = jnp.broadcast_to(mask.astype(sample.dtype), (b, nf) + mask.shape[2:])
             # mask channel FIRST (reference cat([mask, sample], dim=channel),
             # unet_3d_condition_mask.py:425) → conv_in2 weights import 1:1

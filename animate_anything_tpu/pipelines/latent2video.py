@@ -1,0 +1,214 @@
+"""LatentToVideo pipeline: masked image animation from (partially) noised
+latents.
+
+TPU-native equivalent of the reference's ``LatentToVideoPipeline``
+(/root/reference/models/pipeline.py:12-214). Semantics preserved:
+
+- sampling starts from externally prepared latents (the image latent repeated
+  per frame and noised at a truncated timestep — ``prepare_init_latents``
+  wraps diffusion.ddpm_forward_timesteps/_mask, ref utils/common.py:32-62);
+- CFG duplicates the condition latent (uncond branch keeps the SAME condition
+  latent, ref pipeline.py:160-161) and the mask/motion conditioning;
+- returns (video, latents).
+
+TPU design: the entire denoise loop — CFG batch doubling, UNet forward,
+guidance combine, DPM-Solver++/DDIM update — is ONE jitted lax.scan; the
+per-step (b,c,f,h,w)↔(b·f,c,h,w) reshuffling of the reference collapses into
+the layout the model already uses. Guidance scale and motion are traced
+scalars (no recompile when they change); a new (shape, steps) pair compiles
+once and is cached.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from animate_anything_tpu.diffusion import (
+    DiffusionSchedule,
+    ddpm_forward_mask,
+    ddpm_forward_timesteps,
+    sample_loop,
+)
+from animate_anything_tpu.diffusion.samplers import ddim_timesteps, dpmpp_timesteps
+from animate_anything_tpu.models.vae import AutoencoderKL, decode_video, encode_video
+
+
+class LatentToVideoPipeline:
+    def __init__(
+        self,
+        unet,
+        unet_params,
+        vae: AutoencoderKL,
+        vae_params,
+        text_encoder=None,
+        text_params=None,
+        tokenizer=None,
+        schedule: Optional[DiffusionSchedule] = None,
+        sampler: str = "dpmpp",
+    ):
+        from animate_anything_tpu.diffusion import make_schedule
+
+        self.unet = unet
+        self.unet_params = unet_params
+        self.vae = vae
+        self.vae_params = vae_params
+        self.text_encoder = text_encoder
+        self.text_params = text_params
+        self.tokenizer = tokenizer
+        self.schedule = schedule or make_schedule()
+        self.sampler = sampler
+
+    # -- text ---------------------------------------------------------------
+    def encode_prompt(self, prompt, negative_prompt="") -> tuple[jnp.ndarray, jnp.ndarray]:
+        if self.tokenizer is None or self.text_encoder is None:
+            raise ValueError("pipeline built without text encoder/tokenizer")
+        prompts = [prompt] if isinstance(prompt, str) else list(prompt)
+        negs = [negative_prompt] * len(prompts) if isinstance(negative_prompt, str) else list(negative_prompt)
+        ids = self.tokenizer(
+            prompts + negs, padding="max_length", truncation=True,
+            max_length=77, return_tensors="np",
+        ).input_ids
+        embeds = self.text_encoder.apply(self.text_params, jnp.asarray(ids))
+        return embeds[: len(prompts)], embeds[len(prompts):]
+
+    # -- timestep grids -----------------------------------------------------
+    def get_timesteps(self, num_inference_steps: int, t_start_fraction: float = 0.0) -> np.ndarray:
+        """Full or truncated grid. t_start_fraction>0 drops the noisiest
+        steps (latent-to-video trick: the reference slices timesteps[k:],
+        models/pipeline.py:147-158 via DDPM_forward_timesteps)."""
+        if self.sampler == "dpmpp":
+            ts = dpmpp_timesteps(self.schedule.num_train_timesteps, num_inference_steps)
+        else:
+            ts = ddim_timesteps(self.schedule.num_train_timesteps, num_inference_steps)
+        k = int(len(ts) * t_start_fraction)
+        return ts[k:]
+
+    # -- init latents -------------------------------------------------------
+    def prepare_init_latents(
+        self,
+        image_latent: jnp.ndarray,        # (b, 1, h, w, 4) scaled
+        num_frames: int,
+        timesteps: np.ndarray,
+        rng: jax.Array,
+        mask: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        ts = jnp.asarray(timesteps)
+        if mask is not None:
+            return ddpm_forward_mask(self.schedule, image_latent, mask, num_frames, ts, rng)
+        return ddpm_forward_timesteps(self.schedule, image_latent, num_frames, ts, rng)
+
+    # -- the jitted denoise loop -------------------------------------------
+    @functools.cached_property
+    def _denoise_jit(self):
+        unet, schedule, sampler = self.unet, self.schedule, self.sampler
+
+        @functools.partial(jax.jit, static_argnames=("timesteps",))
+        def denoise(unet_params, latents, condition_latent, embeds, mask, motion,
+                    guidance_scale, timesteps):
+            b = latents.shape[0]
+            cond2 = jnp.concatenate([condition_latent, condition_latent])
+            mask2 = None if mask is None else jnp.concatenate([mask, mask])
+            motion2 = None if motion is None else jnp.concatenate([motion, motion])
+
+            def model_fn(x, t):
+                x2 = jnp.concatenate([x, x])
+                out = unet.apply(unet_params, x2, t, embeds, cond2, mask2, motion2)
+                uncond, cond = out[:b], out[b:]
+                return uncond + guidance_scale * (cond - uncond)
+
+            return sample_loop(
+                schedule, latents, np.asarray(timesteps), model_fn, sampler=sampler
+            )
+
+        return denoise
+
+    def _denoise(self, latents, condition_latent, embeds, mask, motion,
+                 guidance_scale, timesteps):
+        return self._denoise_jit(
+            self.unet_params, latents, condition_latent, embeds, mask, motion,
+            guidance_scale, timesteps,
+        )
+
+    # -- public entry -------------------------------------------------------
+    def __call__(
+        self,
+        prompt=None,
+        *,
+        prompt_embeds: Optional[jnp.ndarray] = None,
+        negative_prompt_embeds: Optional[jnp.ndarray] = None,
+        latents: jnp.ndarray,
+        condition_latent: jnp.ndarray,
+        mask: Optional[jnp.ndarray] = None,
+        motion: Optional[jnp.ndarray] = None,
+        timesteps: Optional[np.ndarray] = None,
+        num_inference_steps: int = 25,
+        guidance_scale: float = 9.0,
+        output_type: str = "np",
+    ):
+        """Returns (video, latents); video is (b, f, h*8, w*8, 3) in [-1, 1]
+        (or None when output_type='latent')."""
+        if prompt_embeds is None:
+            prompt_embeds, negative_prompt_embeds = self.encode_prompt(prompt)
+        if timesteps is None:
+            timesteps = self.get_timesteps(num_inference_steps)
+        embeds = jnp.concatenate([negative_prompt_embeds, prompt_embeds])
+        motion_arr = None if motion is None else jnp.asarray(motion, jnp.float32)
+
+        latents = self._denoise(
+            latents,
+            condition_latent,
+            embeds,
+            mask,
+            motion_arr,
+            jnp.asarray(guidance_scale, jnp.float32),
+            tuple(int(t) for t in np.asarray(timesteps)),
+        )
+        if output_type == "latent":
+            return None, latents
+        video = decode_video(self.vae, self.vae_params, latents)
+        return video, latents
+
+    # -- convenience: image → video ----------------------------------------
+    def animate_image(
+        self,
+        image: np.ndarray,                # (h, w, 3) uint8
+        prompt: str,
+        *,
+        mask_img: Optional[np.ndarray] = None,  # (h, w) uint8 {0,255}
+        motion_strength: Optional[float] = None,
+        num_frames: int = 16,
+        num_inference_steps: int = 25,
+        guidance_scale: float = 9.0,
+        t_start_fraction: float = 0.0,
+        rng: Optional[jax.Array] = None,
+    ):
+        """Full eval path of the reference (train.py:731-787): encode image,
+        build mask, seed truncated-schedule latents, denoise, decode."""
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        pixels = jnp.asarray(image, jnp.float32)[None, None] / 127.5 - 1.0
+        image_latent = encode_video(self.vae, self.vae_params, pixels)
+        h8, w8 = image_latent.shape[2], image_latent.shape[3]
+
+        mask = None
+        if mask_img is not None:
+            m = jnp.asarray(np.asarray(mask_img, np.float32) / 255.0)
+            m = jax.image.resize(m, (h8, w8), method="nearest")
+            mask = (m >= 0.5).astype(jnp.float32)[None, None, :, :, None]
+
+        ts = self.get_timesteps(num_inference_steps, t_start_fraction)
+        latents = self.prepare_init_latents(image_latent, num_frames, ts, rng, mask=mask)
+        motion = None if motion_strength is None else jnp.asarray([motion_strength], jnp.float32)
+        return self(
+            prompt,
+            latents=latents,
+            condition_latent=image_latent,
+            mask=mask,
+            motion=motion,
+            timesteps=ts,
+            guidance_scale=guidance_scale,
+        )

@@ -1,0 +1,160 @@
+"""End-to-end pipeline + metrics + media tests (tiny models, CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from animate_anything_tpu.diffusion import make_schedule
+from animate_anything_tpu.metrics import (
+    calculate_motion_precision,
+    calculate_motion_score,
+    get_moved_area_mask,
+    latent_motion_score,
+    masked_psnr,
+    motion_mask_loss,
+)
+from animate_anything_tpu.models import UNet3DConditionModel, UNet3DConfig
+from animate_anything_tpu.models.vae import AutoencoderKL, VAEConfig
+from animate_anything_tpu.pipelines import LatentToVideoPipeline
+from animate_anything_tpu.utils import media
+
+
+@pytest.fixture(scope="module")
+def tiny_pipeline():
+    ucfg = UNet3DConfig.tiny(motion_mask=True, motion_strength=True)
+    unet = UNet3DConditionModel(ucfg)
+    sample = jnp.zeros((1, 4, 8, 8, 4))
+    cond = jnp.zeros((1, 1, 8, 8, 4))
+    mask = jnp.ones((1, 1, 8, 8, 1))
+    text = jnp.zeros((1, 7, 32))
+    uparams = unet.init(
+        jax.random.PRNGKey(0), sample, jnp.array(1), text, cond, mask, jnp.array([1.0])
+    )
+    vcfg = VAEConfig.tiny()
+    vae = AutoencoderKL(vcfg)
+    vparams = vae.init(jax.random.PRNGKey(1), jnp.zeros((1, 64, 64, 3)))
+    return LatentToVideoPipeline(unet, uparams, vae, vparams, sampler="dpmpp")
+
+
+def test_pipeline_end_to_end(tiny_pipeline):
+    pipe = tiny_pipeline
+    rng = jax.random.PRNGKey(0)
+    img_latent = jax.random.normal(rng, (1, 1, 8, 8, 4))
+    ts = pipe.get_timesteps(4)
+    latents = pipe.prepare_init_latents(img_latent, 4, ts, rng)
+    embeds = jnp.zeros((1, 7, 32))
+    video, out_latents = pipe(
+        prompt_embeds=embeds,
+        negative_prompt_embeds=embeds,
+        latents=latents,
+        condition_latent=img_latent,
+        mask=jnp.ones((1, 1, 8, 8, 1)),
+        motion=[3.0],
+        timesteps=ts,
+        guidance_scale=9.0,
+    )
+    assert video.shape == (1, 4, 64, 64, 3)
+    assert out_latents.shape == (1, 4, 8, 8, 4)
+    assert np.isfinite(np.asarray(video)).all()
+
+
+def test_pipeline_latent_only_and_determinism(tiny_pipeline):
+    pipe = tiny_pipeline
+    rng = jax.random.PRNGKey(0)
+    img_latent = jax.random.normal(rng, (1, 1, 8, 8, 4))
+    ts = pipe.get_timesteps(3)
+    latents = pipe.prepare_init_latents(img_latent, 2, ts, rng)
+    embeds = jnp.zeros((1, 7, 32))
+    kw = dict(
+        prompt_embeds=embeds, negative_prompt_embeds=embeds,
+        condition_latent=img_latent, mask=jnp.ones((1, 1, 8, 8, 1)),
+        timesteps=ts, output_type="latent",
+    )
+    _, l1 = pipe(latents=latents, **kw)
+    _, l2 = pipe(latents=latents, **kw)
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), atol=1e-6)
+
+
+def test_pipeline_truncated_schedule(tiny_pipeline):
+    pipe = tiny_pipeline
+    full = pipe.get_timesteps(10)
+    trunc = pipe.get_timesteps(10, t_start_fraction=0.5)
+    assert len(trunc) == 5
+    assert trunc[0] < full[0]
+
+
+def test_latent_motion_score_static_vs_moving():
+    still = jnp.ones((1, 4, 8, 8, 4))
+    moving = jnp.ones((1, 4, 8, 8, 4)) * jnp.arange(4).reshape(1, 4, 1, 1, 1)
+    s0 = latent_motion_score(still)
+    s1 = latent_motion_score(moving)
+    assert float(s0[0]) == 0.0
+    assert float(s1[0]) == pytest.approx(40.0)  # 4 channels × mean|Δ|=1 × 10
+
+
+def test_motion_mask_loss_zero_when_masked():
+    lat = jnp.ones((1, 3, 4, 4, 2)) * jnp.arange(3).reshape(1, 3, 1, 1, 1)
+    mask = jnp.ones((1, 1, 4, 4, 1))
+    assert float(motion_mask_loss(lat, mask)[0]) == 0.0
+    assert float(motion_mask_loss(lat, 0 * mask)[0]) > 0
+
+
+def test_moved_area_mask_and_precision():
+    frames = np.zeros((4, 32, 32, 3), np.uint8)
+    frames[2:, 8:16, 8:16] = 200  # a moving square
+    mask = get_moved_area_mask(frames)
+    assert mask[10, 10] == 255
+    assert mask[30, 30] == 0
+    gt = np.zeros((32, 32), np.uint8)
+    gt[4:20, 4:20] = 255
+    assert calculate_motion_precision(frames, gt) == 1.0
+    assert calculate_motion_precision(frames, 255 - gt) < 0.5
+
+
+def test_motion_score_scale():
+    frames = np.zeros((3, 16, 16, 3), np.uint8)
+    score_static = calculate_motion_score(frames)
+    frames2 = frames.copy()
+    frames2[1] = 255
+    frames2[2] = 0
+    assert score_static == 0
+    assert calculate_motion_score(frames2) > score_static
+
+
+def test_masked_psnr():
+    a = jnp.zeros((1, 2, 4, 4, 3))
+    b = jnp.zeros((1, 2, 4, 4, 3)).at[:, :, :2].set(1.0)
+    full = float(masked_psnr(a, b))
+    lower_half = float(masked_psnr(a, b, mask=jnp.zeros((1, 1, 4, 4, 1)).at[:, :, 2:].set(1.0)))
+    assert lower_half > full  # lower half identical → high psnr
+
+
+def test_media_gif_roundtrip(tmp_path):
+    frames = (np.random.default_rng(0).random((4, 16, 16, 3)) * 255).astype(np.uint8)
+    p = media.save_gif(str(tmp_path / "x.gif"), frames, fps=4)
+    back = media.load_video_frames(p)
+    assert back.shape == (4, 16, 16, 3)
+
+
+def test_media_masks(tmp_path):
+    m = media.generate_center_mask(32, 32)
+    assert m[16, 16] == 255 and m[0, 0] == 0
+    m2 = media.generate_random_mask(32, 32, np.random.default_rng(0))
+    assert m2.max() == 255
+    import json
+
+    labelme = {
+        "imageHeight": 16, "imageWidth": 16,
+        "shapes": [{"shape_type": "polygon", "points": [[2, 2], [12, 2], [12, 12], [2, 12]]}],
+    }
+    p = tmp_path / "m.json"
+    p.write_text(json.dumps(labelme))
+    mask = media.read_labelme_mask(str(p))
+    assert mask[6, 6] == 255 and mask[0, 0] == 0
+
+
+def test_snap_resolution():
+    h, w = media.snap_resolution(250, 510)
+    assert h % 8 == 0 and w % 8 == 0
+    assert abs(h * w - 250 * 510) / (250 * 510) < 0.15
