@@ -1,0 +1,17 @@
+from animate_anything_tpu.train.trainer import (
+    TrainConfig,
+    TrainState,
+    create_train_state,
+    make_optimizer,
+    make_train_step,
+    trainable_label_tree,
+)
+
+__all__ = [
+    "TrainConfig",
+    "TrainState",
+    "create_train_state",
+    "make_optimizer",
+    "make_train_step",
+    "trainable_label_tree",
+]
