@@ -1,0 +1,194 @@
+"""Data layer tests: datasets, bucketing, video IO, loader, prefetch."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from animate_anything_tpu.data import (
+    CachedDataset,
+    DataLoader,
+    FolderDataset,
+    ImageDataset,
+    SingleVideoDataset,
+    VideoBlipDataset,
+    VideoJsonDataset,
+    extend_datasets,
+    get_train_dataset,
+    sensible_buckets,
+)
+from animate_anything_tpu.data.loader import collate, device_prefetch
+from animate_anything_tpu.data.video_io import (
+    VideoReader,
+    read_video_clip,
+    resize_center_crop,
+    sample_frame_indices,
+)
+
+
+def _make_gif(path, f=8, h=48, w=64, moving=True):
+    frames = []
+    rng = np.random.default_rng(0)
+    base = (rng.random((h, w, 3)) * 255).astype(np.uint8)
+    for i in range(f):
+        fr = base.copy()
+        if moving:
+            fr[10 : 20, (5 + 4 * i) : (15 + 4 * i)] = [255, 0, 0]
+        frames.append(Image.fromarray(fr))
+    frames[0].save(path, save_all=True, append_images=frames[1:], duration=100, loop=0)
+    return path
+
+
+@pytest.fixture()
+def gif_dir(tmp_path):
+    d = tmp_path / "vids"
+    d.mkdir()
+    _make_gif(str(d / "a.gif"))
+    _make_gif(str(d / "b.gif"))
+    (d / "a.txt").write_text("a red square moves")
+    return str(d)
+
+
+def test_sensible_buckets():
+    # landscape 1280x720 with 512 model → height bucketed
+    w, h = sensible_buckets(512, 512, 1280, 720)
+    assert w == 512 and h % 64 == 0 and h >= 192
+    # portrait
+    w2, h2 = sensible_buckets(512, 512, 720, 1280)
+    assert h2 == 512 and w2 % 64 == 0
+    # square unchanged
+    assert sensible_buckets(512, 512, 700, 700) == (512, 512)
+
+
+def test_video_reader_and_sampling(gif_dir):
+    vr = VideoReader(os.path.join(gif_dir, "a.gif"))
+    assert len(vr) == 8
+    batch = vr.get_batch([0, 3, 7])
+    assert batch.shape == (3, 48, 64, 3)
+    idx = sample_frame_indices(100, 8, native_fps=30, sample_fps=8)
+    assert len(idx) == 8 and idx[-1] < 100
+    # short clip → linspace
+    idx2 = sample_frame_indices(5, 8, 30, 8)
+    assert len(idx2) == 8 and idx2[-1] == 4
+
+
+def test_resize_center_crop():
+    frames = np.zeros((2, 48, 64, 3), np.uint8)
+    out = resize_center_crop(frames, 32, 32)
+    assert out.shape == (2, 32, 32, 3)
+
+
+def test_read_video_clip_bucketing(gif_dir):
+    out = read_video_clip(os.path.join(gif_dir, "a.gif"), 4, 256, 256, use_bucketing=True)
+    assert out.shape[0] == 4
+    assert out.shape[1] % 64 == 0 or out.shape[2] % 64 == 0
+
+
+def test_folder_dataset_items(gif_dir):
+    ds = FolderDataset(path=gif_dir, width=64, height=48, n_sample_frames=4,
+                       fallback_prompt="fb", motion_threshold=0)
+    assert len(ds) == 2
+    item = ds[0]
+    assert item["pixel_values"].shape == (4, 48, 64, 3)
+    assert item["pixel_values"].min() >= -1.0 and item["pixel_values"].max() <= 1.0
+    assert item["dataset"] == "folder"
+    assert item["mask"].shape == (48, 64)
+    assert item["text_prompt"] == "a red square moves"  # sibling .txt caption
+    assert ds[1]["text_prompt"] == "fb"
+
+
+def test_video_json_dataset(tmp_path, gif_dir):
+    items = [{"video": "a.gif", "caption": "hello"}]
+    jp = tmp_path / "d.json"
+    jp.write_text(json.dumps(items))
+    ds = VideoJsonDataset(json_path=str(jp), video_dir=gif_dir, width=64, height=48,
+                          n_sample_frames=4, motion_threshold=0)
+    assert len(ds) == 1
+    assert ds[0]["text_prompt"] == "hello"
+
+
+def test_video_blip_dataset(tmp_path, gif_dir):
+    data = {"data": [{
+        "video_path": os.path.join(gif_dir, "a.gif"),
+        "data": [{"frame_index": 0, "prompt": "p1"},
+                 {"frame_index": 2, "prompt": "p2"}],
+    }]}
+    jp = tmp_path / "blip.json"
+    jp.write_text(json.dumps(data))
+    ds = VideoBlipDataset(json_path=str(jp), width=64, height=48, n_sample_frames=4,
+                          motion_threshold=0)
+    assert len(ds) == 2
+    assert ds.__getname__() == "video_blip"
+    assert ds[1]["text_prompt"] == "p2"
+
+
+def test_single_video_and_image_datasets(tmp_path, gif_dir):
+    ds = SingleVideoDataset(single_video_path=os.path.join(gif_dir, "a.gif"),
+                            single_video_prompt="sv", width=64, height=48,
+                            n_sample_frames=4, motion_threshold=0)
+    assert len(ds) == 2 and ds[0]["dataset"] == "single_video"
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    Image.fromarray(np.zeros((48, 64, 3), np.uint8)).save(img_dir / "x.png")
+    ids = ImageDataset(image_dir=str(img_dir), fallback_prompt="img", width=64, height=48)
+    assert len(ids) == 1
+    item = ids[0]
+    assert item["pixel_values"].shape[0] == 1 and item["mask"].max() == 255
+
+
+def test_registry_and_extend(gif_dir):
+    dss = get_train_dataset(
+        ["folder"], {"path": gif_dir, "width": 64, "height": 48,
+                     "n_sample_frames": 4, "motion_threshold": 0}, tokenizer=None
+    )
+    assert len(dss) == 1 and dss[0].__getname__() == "folder"
+    with pytest.raises(ValueError):
+        get_train_dataset(["nope"], {})
+
+    short = [{"x": 1}] * 2
+    long = [{"x": 2}] * 5
+    balanced = extend_datasets([short, long])
+    assert len(balanced[0]) == 5 and balanced[0][4] == {"x": 1}
+
+
+def test_motion_threshold_resampling(gif_dir, tmp_path):
+    _make_gif(str(tmp_path / "static.gif"), moving=False)
+    # dataset with one static and one moving clip; threshold forces moving
+    d = tmp_path / "mix"
+    d.mkdir()
+    _make_gif(str(d / "static.gif"), moving=False)
+    _make_gif(str(d / "moving.gif"), moving=True)
+    ds = FolderDataset(path=str(d), width=64, height=48, n_sample_frames=4,
+                       motion_threshold=5)
+    for i in range(len(ds)):
+        assert ds[i]["motion"] >= 5  # static items resampled away
+
+
+def test_cached_dataset_roundtrip(tmp_path):
+    item = {"latents": np.ones((4, 2, 2, 4), np.float32), "mask": np.zeros((16, 16), np.uint8),
+            "prompt_ids": np.zeros((77,), np.int32)}
+    CachedDataset.save_item(str(tmp_path), 0, item)
+    ds = CachedDataset(cache_dir=str(tmp_path))
+    assert len(ds) == 1
+    back = ds[0]
+    np.testing.assert_array_equal(back["latents"], item["latents"])
+
+
+def test_dataloader_and_prefetch(gif_dir):
+    ds = FolderDataset(path=gif_dir, width=64, height=48, n_sample_frames=4,
+                       motion_threshold=0)
+    dl = DataLoader(ds, batch_size=2, shuffle=True, seed=1)
+    batches = list(dl)
+    assert len(batches) == 1
+    assert batches[0]["pixel_values"].shape == (2, 4, 48, 64, 3)
+    assert isinstance(batches[0]["text_prompt"], list)
+    # device prefetch places arrays on device
+    for b in device_prefetch(iter(batches)):
+        assert hasattr(b["pixel_values"], "devices")
+
+
+def test_collate_mixed_types():
+    out = collate([{"a": np.ones(2), "s": "x"}, {"a": np.zeros(2), "s": "y"}])
+    assert out["a"].shape == (2, 2) and out["s"] == ["x", "y"]
