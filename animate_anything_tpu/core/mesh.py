@@ -50,9 +50,10 @@ def create_mesh(
         if n % known:
             raise ValueError(f"{n} devices not divisible by {known}")
         sizes[sizes.index(-1)] = n // known
-    if math.prod(sizes) != n:
-        raise ValueError(f"mesh {dict(zip(names, sizes))} != {n} devices")
-    dev_array = np.asarray(devices).reshape(sizes)
+    want = math.prod(sizes)
+    if want > n:
+        raise ValueError(f"mesh {dict(zip(names, sizes))} needs {want} > {n} devices")
+    dev_array = np.asarray(devices[:want]).reshape(sizes)
     return Mesh(dev_array, tuple(names))
 
 
