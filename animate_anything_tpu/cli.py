@@ -33,6 +33,7 @@ from animate_anything_tpu.data.datasets import ConcatDataset
 from animate_anything_tpu.data.loader import device_prefetch
 from animate_anything_tpu.metrics.motion import calculate_motion_precision, latent_motion_score
 from animate_anything_tpu.models.factory import build_models
+from animate_anything_tpu.models.lora import LoraConfig, init_lora_params, load_lora, merge_lora, save_lora
 from animate_anything_tpu.parallel import infer_state_shardings
 from animate_anything_tpu.pipelines import LatentToVideoPipeline
 from animate_anything_tpu.train import TrainConfig, create_train_state, make_train_step
@@ -159,7 +160,22 @@ def main(**cfg_kw) -> str:
         cache_latents=bool(cfg.get("cache_latents", False)),
     )
     mesh = create_mesh({AXIS_DATA: int(cfg.get("mesh", {}).get("data", -1))})
-    state = create_train_state(models["unet_params"], tconf)
+
+    # LoRA: the train state holds only the adapter tree (reference
+    # train_lora.py workload; both backends' capabilities in models/lora.py)
+    use_lora = bool(cfg.get("use_unet_lora", False))
+    lora_cfg = None
+    if use_lora:
+        lora_cfg = LoraConfig(
+            rank=int(cfg.get("lora_rank", 16)),
+            targets=tuple(cfg.get("unet_lora_modules", ["UNet3DConditionModel"])),
+            include_convs=bool(cfg.get("lora_include_convs", False)),
+        )
+        lora_tree = init_lora_params(jax.random.PRNGKey(seed + 7),
+                                     models["unet_params"], lora_cfg)
+        state = create_train_state(lora_tree, tconf)
+    else:
+        state = create_train_state(models["unet_params"], tconf)
     shardings = infer_state_shardings(state, mesh)
     state = jax.tree_util.tree_map(jax.device_put, state, shardings)
 
@@ -170,14 +186,20 @@ def main(**cfg_kw) -> str:
             state = restore_checkpoint(path, state)
             print(f"resumed from {path} at step {int(state.step)}")
 
-    step_fn = jax.jit(
-        make_train_step(
-            models["unet"], models["schedule"], tconf,
-            vae=models["vae"], vae_params=models["vae_params"],
-            text_encoder=models["text"], text_params=models["text_params"],
-        ),
-        donate_argnums=(0,),
+    model_kw = dict(
+        vae=models["vae"], vae_params=models["vae_params"],
+        text_encoder=models["text"], text_params=models["text_params"],
     )
+    if use_lora:
+        from animate_anything_tpu.train import make_lora_train_step
+
+        raw_step = make_lora_train_step(
+            models["unet"], models["schedule"], tconf,
+            base_params=models["unet_params"], lora_config=lora_cfg, **model_kw,
+        )
+    else:
+        raw_step = make_train_step(models["unet"], models["schedule"], tconf, **model_kw)
+    step_fn = jax.jit(raw_step, donate_argnums=(0,))
 
     uncond_ids = models["tokenizer"]("", padding="max_length", max_length=77).input_ids
 
@@ -205,7 +227,12 @@ def main(**cfg_kw) -> str:
 
             if global_step % ckpt_steps == 0 or global_step >= max_steps:
                 save_checkpoint(os.path.join(run_dir, "ckpt"), state)
-                if bool(cfg.get("save_pretrained_model", True)):
+                if use_lora:
+                    save_lora(
+                        os.path.join(run_dir, f"lora_step_{global_step}.safetensors"),
+                        jax.device_get(state.params), lora_cfg,
+                    )
+                if not use_lora and bool(cfg.get("save_pretrained_model", True)):
                     save_pipeline(
                         os.path.join(run_dir, f"pipeline_step_{global_step}"),
                         jax.device_get(state.params), models["unet_config"],
@@ -215,7 +242,12 @@ def main(**cfg_kw) -> str:
                         text_config=models["text_config"],
                     )
             if sample_preview and (global_step % val_steps == 0 or global_step == 5):
-                models_now = dict(models, unet_params=state.params)
+                current = (
+                    merge_lora(models["unet_params"], state.params, lora_cfg,
+                               stop_base_gradient=False)
+                    if use_lora else state.params
+                )
+                models_now = dict(models, unet_params=current)
                 vm = run_validation(models_now, cfg.validation_data, run_dir,
                                     global_step, motion_mask, motion_strength)
                 logger.log(global_step, {k: v for k, v in vm.items()
@@ -240,6 +272,14 @@ def main_eval(**cfg_kw) -> dict:
         compute_dtype=policy.compute_dtype,
         attn_impl=cfg.get("attn_impl"),
     )
+    # inject_inferable_lora analog (reference utils/lora.py:482-526): merge a
+    # saved adapter into the base weights before building the pipeline
+    lora_path = cfg.get("lora_path")
+    if lora_path:
+        lora_tree, lcfg = load_lora(lora_path)
+        models["unet_params"] = merge_lora(
+            models["unet_params"], lora_tree, lcfg, stop_base_gradient=False
+        )
     iters = int(cfg.get("eval_iters", 1))
     precisions = []
     out = {}

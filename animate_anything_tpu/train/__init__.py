@@ -3,6 +3,7 @@ from animate_anything_tpu.train.trainer import (
     TrainState,
     create_train_state,
     make_optimizer,
+    make_lora_train_step,
     make_train_step,
     trainable_label_tree,
 )
@@ -12,6 +13,7 @@ __all__ = [
     "TrainState",
     "create_train_state",
     "make_optimizer",
+    "make_lora_train_step",
     "make_train_step",
     "trainable_label_tree",
 ]

@@ -138,8 +138,13 @@ def make_train_step(
     vae_params=None,
     text_encoder=None,
     text_params=None,
+    param_transform: Optional[Callable] = None,
 ) -> Callable:
     """Returns train_step(state, batch, rng) → (state, metrics).
+
+    param_transform: optional pure map from the *trainable* tree to the model
+    params (LoRA: state holds the adapter tree, transform merges it into the
+    frozen base — see make_lora_train_step).
 
     batch keys (all device arrays):
     - 'pixel_values' (b,f,H,W,3) in [-1,1]  OR 'latents' (b,f,h,w,4) if cached
@@ -151,6 +156,8 @@ def make_train_step(
     use_offset = config.use_offset_noise and not config.rescale_schedule
 
     def loss_fn(params, batch, rng):
+        if param_transform is not None:
+            params = param_transform(params)
         r_noise, r_t, r_drop = jax.random.split(rng, 3)
 
         if "latents" in batch:
@@ -216,3 +223,26 @@ def make_train_step(
         return new_state, metrics
 
     return train_step
+
+
+def make_lora_train_step(
+    unet,
+    schedule: DiffusionSchedule,
+    config: TrainConfig,
+    base_params,
+    lora_config,
+    **model_kw,
+) -> Callable:
+    """LoRA training: the TrainState holds ONLY the adapter tree; the frozen
+    base params are closed over (constants in the compiled program) and the
+    merge W+(α/r)BA happens inside the jitted loss (reference workload:
+    /root/reference/train_lora.py:461-476 + utils/lora_handler.py)."""
+    from animate_anything_tpu.models.lora import merge_lora
+
+    def transform(lora_tree):
+        return merge_lora(base_params, lora_tree, lora_config)
+
+    return make_train_step(
+        unet, schedule, config, param_transform=transform, **model_kw
+    )
+

@@ -1,0 +1,120 @@
+"""LoRA tests: targeting, identity-at-init, training, persistence, collapse."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from animate_anything_tpu.diffusion import make_schedule
+from animate_anything_tpu.models import UNet3DConditionModel, UNet3DConfig
+from animate_anything_tpu.models.lora import (
+    LoraConfig,
+    init_lora_params,
+    load_lora,
+    merge_lora,
+    save_lora,
+)
+from animate_anything_tpu.train import TrainConfig, create_train_state, make_lora_train_step
+
+
+@pytest.fixture(scope="module")
+def unet_setup():
+    cfg = UNet3DConfig.tiny(motion_mask=True, motion_strength=True)
+    unet = UNet3DConditionModel(cfg)
+    b, f, hw = 1, 2, 2
+    args = (
+        jax.random.normal(jax.random.PRNGKey(0), (b, f, hw, hw, 4)),
+        jnp.array(5),
+        jax.random.normal(jax.random.PRNGKey(1), (b, 7, 32)),
+        jax.random.normal(jax.random.PRNGKey(2), (b, 1, hw, hw, 4)),
+        jnp.ones((b, 1, hw, hw, 1)),
+        jnp.ones((b,)),
+    )
+    params = unet.init(jax.random.PRNGKey(3), *args)
+    return unet, params, args
+
+
+def test_lora_targets_cross_attention_only(unet_setup):
+    _, params, _ = unet_setup
+    cfg = LoraConfig(rank=4, targets=("CrossAttention",))
+    lora = init_lora_params(jax.random.PRNGKey(0), params, cfg)
+    assert lora
+    assert all("attn1" in k or "attn2" in k for k in lora)
+    # linear-only by default: every down factor is (fan_in, 4)
+    for ab in lora.values():
+        assert ab["down"].shape[1] == 4 and ab["up"].shape[0] == 4
+
+
+def test_lora_targets_everything_and_convs(unet_setup):
+    _, params, _ = unet_setup
+    cfg = LoraConfig(rank=2, targets=("UNet3DConditionModel",), include_convs=True)
+    lora = init_lora_params(jax.random.PRNGKey(0), params, cfg)
+    assert any("conv1" in k for k in lora)  # convs included
+    assert any("to_q" in k for k in lora)
+
+
+def test_merge_identity_at_init(unet_setup):
+    unet, params, args = unet_setup
+    cfg = LoraConfig(rank=4, targets=("CrossAttention",))
+    lora = init_lora_params(jax.random.PRNGKey(0), params, cfg)
+    merged = merge_lora(params, lora, cfg, stop_base_gradient=False)
+    out0 = unet.apply(params, *args)
+    out1 = unet.apply(merged, *args)
+    np.testing.assert_allclose(np.asarray(out0), np.asarray(out1), atol=1e-6)
+
+
+def test_lora_train_step_moves_output(unet_setup):
+    unet, params, args = unet_setup
+    lcfg = LoraConfig(rank=4, targets=("CrossAttention",))
+    lora = init_lora_params(jax.random.PRNGKey(0), params, lcfg)
+    tconf = TrainConfig(motion_mask=True, motion_strength=True, cache_latents=True,
+                        learning_rate=1e-2, adam_weight_decay=0.0)
+    step = jax.jit(make_lora_train_step(
+        unet, make_schedule(), tconf, base_params=params, lora_config=lcfg,
+    ))
+    state = create_train_state(lora, tconf)
+    batch = {
+        "latents": jax.random.normal(jax.random.PRNGKey(1), (1, 2, 2, 2, 4)),
+        "mask": jnp.full((1, 16, 16), 255.0),
+        "encoder_hidden_states": jax.random.normal(jax.random.PRNGKey(2), (1, 7, 32)),
+        "uncond_hidden_states": jnp.zeros((1, 7, 32)),
+    }
+    new_state, metrics = step(state, batch, jax.random.PRNGKey(3))
+    assert np.isfinite(float(metrics["loss"]))
+    # up factors moved away from zero → adapter active
+    up_norm = sum(float(jnp.abs(ab["up"]).sum()) for ab in new_state.params.values())
+    assert up_norm > 0
+    merged = merge_lora(params, new_state.params, lcfg, stop_base_gradient=False)
+    out0 = unet.apply(params, *args)
+    out1 = unet.apply(merged, *args)
+    assert float(jnp.abs(out1 - out0).max()) > 0
+
+
+def test_lora_save_load_roundtrip(unet_setup, tmp_path):
+    _, params, _ = unet_setup
+    cfg = LoraConfig(rank=4, alpha=8.0, targets=("CrossAttention",))
+    lora = init_lora_params(jax.random.PRNGKey(0), params, cfg)
+    # give "up" nonzero values so the roundtrip is nontrivial
+    lora = jax.tree_util.tree_map(lambda x: x + 0.5, lora)
+    p = save_lora(str(tmp_path / "lora.safetensors"), lora, cfg)
+    lora2, cfg2 = load_lora(p)
+    assert cfg2.rank == 4 and cfg2.alpha == 8.0 and cfg2.targets == ("CrossAttention",)
+    assert set(lora2) == set(lora)
+    for k in lora:
+        np.testing.assert_allclose(np.asarray(lora[k]["down"]), np.asarray(lora2[k]["down"]), atol=1e-7)
+        np.testing.assert_allclose(np.asarray(lora[k]["up"]), np.asarray(lora2[k]["up"]), atol=1e-7)
+
+
+def test_lora_scale_and_collapse(unet_setup):
+    unet, params, args = unet_setup
+    cfg = LoraConfig(rank=4, targets=("CrossAttention",))
+    lora = init_lora_params(jax.random.PRNGKey(0), params, cfg)
+    lora = jax.tree_util.tree_map(lambda x: x + 0.1, lora)
+    merged = merge_lora(params, lora, cfg, stop_base_gradient=False)
+    # collapse == merge once; applying zero-scale returns base exactly
+    zero = merge_lora(params, lora, cfg, scale=0.0, stop_base_gradient=False)
+    out_base = unet.apply(params, *args)
+    np.testing.assert_allclose(
+        np.asarray(unet.apply(zero, *args)), np.asarray(out_base), atol=1e-6
+    )
+    assert float(jnp.abs(unet.apply(merged, *args) - out_base).max()) > 1e-6
