@@ -83,14 +83,15 @@ class ResnetBlock2D(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, temb: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, temb: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         in_channels = x.shape[-1]
         h = nn.GroupNorm(num_groups=self.groups, epsilon=self.eps, dtype=jnp.float32, name="norm1")(x)
         h = nn.silu(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv1")(h)
 
-        t = nn.Dense(self.out_channels, dtype=self.dtype, name="time_emb_proj")(nn.silu(temb))
-        h = h + t[:, None, None, :]
+        if temb is not None:
+            t = nn.Dense(self.out_channels, dtype=self.dtype, name="time_emb_proj")(nn.silu(temb))
+            h = h + t[:, None, None, :]
 
         h = nn.GroupNorm(num_groups=self.groups, epsilon=self.eps, dtype=jnp.float32, name="norm2")(h)
         h = nn.silu(h)

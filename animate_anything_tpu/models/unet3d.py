@@ -62,6 +62,11 @@ class UNet3DConfig:
     attention_head_dim: int = 64
     motion_mask: bool = False
     motion_strength: bool = False
+    # 'frame_concat' (default): condition latent joins the FRAME axis and the
+    # output strips frame 0 (ref unet_3d_condition_mask.py:376,522).
+    # 'channel_concat': the caller channel-concatenates the condition (the
+    # stage-2 9-ch variant, ref pipeline_stage2.py:416) — no frame concat.
+    condition_mode: str = "frame_concat"
     attn_impl: Optional[str] = None
     gradient_checkpointing: bool = False
 
@@ -98,7 +103,15 @@ class UNet3DConditionModel(nn.Module):
         time_embed_dim = ch0 * 4
 
         # 1. frame-axis condition concat: f → f+1, output strips frame 0
-        sample = jnp.concatenate([condition_latent.astype(sample.dtype), sample], axis=1)
+        frame_concat = cfg.condition_mode == "frame_concat"
+        if frame_concat:
+            sample = jnp.concatenate([condition_latent.astype(sample.dtype), sample], axis=1)
+        elif condition_latent is not None:
+            cond = jnp.broadcast_to(
+                condition_latent.astype(sample.dtype),
+                sample.shape[:-1] + condition_latent.shape[-1:],
+            )
+            sample = jnp.concatenate([cond, sample], axis=-1)
         b, nf, hh, ww, _ = sample.shape
 
         # 2. time (+ motion-strength) embedding — fp32 sinusoids
@@ -128,10 +141,10 @@ class UNet3DConditionModel(nn.Module):
             # mask channel FIRST (reference cat([mask, sample], dim=channel),
             # unet_3d_condition_mask.py:425) → conv_in2 weights import 1:1
             x = jnp.concatenate([m, sample], axis=-1)
-            x = x.reshape(b * nf, hh, ww, cfg.in_channels + 1)
+            x = x.reshape(b * nf, hh, ww, x.shape[-1])
             x = nn.Conv(ch0, (3, 3), padding=1, dtype=self.dtype, name="conv_in2")(x)
         else:
-            x = sample.reshape(b * nf, hh, ww, cfg.in_channels)
+            x = sample.reshape(b * nf, hh, ww, sample.shape[-1])
             x = nn.Conv(ch0, (3, 3), padding=1, dtype=self.dtype, name="conv_in")(x)
 
         if nf > 1:
@@ -245,4 +258,4 @@ class UNet3DConditionModel(nn.Module):
         x = nn.Conv(cfg.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv_out")(x)
 
         x = x.reshape(b, nf, x.shape[1], x.shape[2], cfg.out_channels)
-        return x[:, 1:]  # strip the condition frame (ref :522)
+        return x[:, 1:] if frame_concat else x  # strip the condition frame (ref :522)
