@@ -62,13 +62,23 @@ def get_moved_area_mask(
     frames: np.ndarray,
     move_th: float = 5.0,
     th: float = -1.0,
+    use_native: bool = True,
 ) -> np.ndarray:
     """frames (f, h, w, 3) uint8 → mask (h, w) uint8 {0,255} of moved boxes.
 
     Pipeline (mirrors the reference's cv2 version): per-pair abs-diff vs first
     frame and vs previous frame, threshold, accumulate, dilate, then paint the
     bounding box of every connected component above an area threshold.
+
+    Uses the native C++ kernel (native/motionkit.cpp) when built; this numpy
+    path is the always-available fallback with identical output.
     """
+    if use_native and frames.dtype == np.uint8:
+        from animate_anything_tpu.data import native
+
+        out = native.moved_area_mask(frames, move_th, int(th if th >= 0 else 0))
+        if out is not None:
+            return out
     f = frames.astype(np.int32)
     gray = f.mean(axis=-1)
     ref = gray[0]
@@ -127,8 +137,18 @@ def _mean_pixel_distance(a: np.ndarray, b: np.ndarray) -> float:
     return float(np.abs(a.astype(np.float32) - b.astype(np.float32)).mean())
 
 
-def calculate_motion_score(frames: np.ndarray) -> int:
-    """frames (f, h, w, 3) uint8 RGB → rounded 10× mean HSV pixel distance."""
+def calculate_motion_score(frames: np.ndarray, use_native: bool = True) -> int:
+    """frames (f, h, w, 3) uint8 RGB → rounded 10× mean HSV pixel distance.
+
+    Native C++ path when available (numpy fallback below is bit-compatible)."""
+    if len(frames) < 2:
+        return 0
+    if use_native and np.asarray(frames).dtype == np.uint8:
+        from animate_anything_tpu.data import native
+
+        score = native.motion_score(np.asarray(frames))
+        if score is not None:
+            return score
     last = None
     score = 0.0
     for frame in frames:
