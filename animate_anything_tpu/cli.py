@@ -142,6 +142,30 @@ def main(**cfg_kw) -> str:
         )
     datasets = extend_datasets(datasets, extend=bool(cfg.get("extend_dataset", False)))
     dataset = ConcatDataset(datasets) if len(datasets) > 1 else datasets[0]
+
+    # latent caching (reference cache_latents/cached_latent_dir,
+    # train.py:367,667-670): pre-encode once, then train from npz latents
+    if cfg.get("cached_latent_dir"):
+        from animate_anything_tpu.data import CachedDataset
+
+        dataset = CachedDataset(cache_dir=cfg.cached_latent_dir)
+    elif bool(cfg.get("cache_latents", False)):
+        from animate_anything_tpu.data import CachedDataset
+        from animate_anything_tpu.models.vae import encode_video
+
+        cache_dir = os.path.join(run_dir, "cached_latents")
+        enc = jax.jit(lambda px: encode_video(models["vae"], models["vae_params"], px))
+        for i in range(len(dataset)):
+            item = dataset[i]
+            latents = np.asarray(enc(jnp.asarray(item["pixel_values"])[None])[0])
+            CachedDataset.save_item(cache_dir, i, {
+                "latents": latents,
+                "mask": item["mask"],
+                "prompt_ids": item["prompt_ids"],
+            })
+        dataset = CachedDataset(cache_dir=cache_dir)
+        print(f"cached {len(dataset)} latent items → {cache_dir}")
+
     batch_size = int(cfg.get("train_batch_size", 1))
     loader = DataLoader(dataset, batch_size=batch_size, shuffle=True, seed=seed)
 

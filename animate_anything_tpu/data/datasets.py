@@ -91,7 +91,18 @@ class _BaseVideoDataset:
         raise NotImplementedError
 
     def __getitem__(self, index: int) -> Dict[str, Any]:
-        return self._resample_if_static(self.getitem_raw(index))
+        # dataset-level fault tolerance: a corrupt/unreadable item draws a
+        # random other index instead of killing the epoch (reference
+        # /root/reference/utils/dataset.py:593-595, 515-519)
+        for _ in range(8):
+            try:
+                return self._resample_if_static(self.getitem_raw(index))
+            except Exception as e:
+                if len(self) <= 1:
+                    raise
+                print(f"[data] failed to read item {index} ({e!r}); resampling")
+                index = random.randint(0, len(self) - 1)
+        raise RuntimeError("too many consecutive unreadable dataset items")
 
 
 class VideoBlipDataset(_BaseVideoDataset):

@@ -84,12 +84,12 @@ class BasicTransformerBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, context: Optional[jnp.ndarray] = None) -> jnp.ndarray:
-        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm1")(x)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm1")(x).astype(self.dtype)
         x = x + CrossAttention(
             self.heads, self.head_dim, attn_impl=self.attn_impl, dtype=self.dtype, name="attn1"
         )(h)
 
-        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm2")(x)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm2")(x).astype(self.dtype)
         ctx = None if self.double_self_attention else context
         x = x + CrossAttention(
             self.heads,
@@ -100,7 +100,7 @@ class BasicTransformerBlock(nn.Module):
             name="attn2",
         )(h, ctx)
 
-        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm3")(x)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm3")(x).astype(self.dtype)
         x = x + GEGLUFeedForward(dtype=self.dtype, name="ff")(h)
         return x
 
@@ -129,6 +129,7 @@ class SpatialTransformer(nn.Module):
         residual = x
 
         h = nn.GroupNorm(num_groups=self.groups, epsilon=1e-6, dtype=jnp.float32, name="norm")(x)
+        h = h.astype(self.dtype)
         if self.use_linear_projection:
             h = h.reshape(bf, hh * ww, c)
             h = nn.Dense(inner, dtype=self.dtype, name="proj_in")(h)
@@ -178,7 +179,7 @@ class TemporalTransformer(nn.Module):
         h = x.reshape(b, num_frames, hh, ww, c)
         # GroupNorm stats over (f, h, w, c/groups) — matches torch GN on (b,c,f,h,w)
         h = nn.GroupNorm(num_groups=self.groups, epsilon=1e-6, dtype=jnp.float32, name="norm")(h)
-        h = h.transpose(0, 2, 3, 1, 4).reshape(b * hh * ww, num_frames, c)
+        h = h.astype(self.dtype).transpose(0, 2, 3, 1, 4).reshape(b * hh * ww, num_frames, c)
         h = nn.Dense(inner, dtype=self.dtype, name="proj_in")(h)
 
         for i in range(self.num_layers):

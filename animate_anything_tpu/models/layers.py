@@ -86,7 +86,7 @@ class ResnetBlock2D(nn.Module):
     def __call__(self, x: jnp.ndarray, temb: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         in_channels = x.shape[-1]
         h = nn.GroupNorm(num_groups=self.groups, epsilon=self.eps, dtype=jnp.float32, name="norm1")(x)
-        h = nn.silu(h)
+        h = nn.silu(h).astype(self.dtype)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv1")(h)
 
         if temb is not None:
@@ -94,7 +94,7 @@ class ResnetBlock2D(nn.Module):
             h = h + t[:, None, None, :]
 
         h = nn.GroupNorm(num_groups=self.groups, epsilon=self.eps, dtype=jnp.float32, name="norm2")(h)
-        h = nn.silu(h)
+        h = nn.silu(h).astype(self.dtype)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv2")(h)
 
         if in_channels != self.out_channels:
@@ -125,7 +125,7 @@ class TemporalConvLayer(nn.Module):
 
         def stage(h, idx, features, zero_init=False):
             h = nn.GroupNorm(num_groups=32, epsilon=1e-5, dtype=jnp.float32, name=f"norm{idx}")(h)
-            h = nn.silu(h)
+            h = nn.silu(h).astype(self.dtype)
             if idx > 1 and self.dropout > 0 and not deterministic:
                 h = nn.Dropout(self.dropout, deterministic=False)(h)
             kernel_init = nn.initializers.zeros if zero_init else nn.initializers.lecun_normal()
@@ -171,7 +171,13 @@ class Upsample2D(nn.Module):
     def __call__(self, x: jnp.ndarray, output_size: Optional[tuple] = None) -> jnp.ndarray:
         bf, h, w, c = x.shape
         target = output_size if output_size is not None else (h * 2, w * 2)
-        x = jax.image.resize(x, (bf, target[0], target[1], c), method="nearest")
+        if target == (h * 2, w * 2):
+            # exact 2x nearest via broadcast+reshape — avoids the gather that
+            # jax.image.resize can lower to on TPU
+            x = jnp.broadcast_to(x[:, :, None, :, None, :], (bf, h, 2, w, 2, c))
+            x = x.reshape(bf, h * 2, w * 2, c)
+        else:
+            x = jax.image.resize(x, (bf, target[0], target[1], c), method="nearest")
         return nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv")(x)
 
 

@@ -50,9 +50,17 @@ class LatentToVideoPipeline:
         tokenizer=None,
         schedule: Optional[DiffusionSchedule] = None,
         sampler: str = "dpmpp",
+        mesh=None,
     ):
+        """mesh: optional jax.sharding.Mesh — batch shards over 'data' and
+        frames over 'frame' (frames are i.i.d. through all spatial layers, so
+        a frame axis is cheap context parallelism; XLA inserts the all-to-alls
+        around temporal attention/convs). This is the inference-batching axis
+        from BASELINE's north star — absent in the reference, which is
+        single-GPU at inference."""
         from animate_anything_tpu.diffusion import make_schedule
 
+        self.mesh = mesh
         self.unet = unet
         self.unet_params = unet_params
         self.vae = vae
@@ -105,11 +113,22 @@ class LatentToVideoPipeline:
     # -- the jitted denoise loop -------------------------------------------
     @functools.cached_property
     def _denoise_jit(self):
-        unet, schedule, sampler = self.unet, self.schedule, self.sampler
+        unet, schedule, sampler, mesh = self.unet, self.schedule, self.sampler, self.mesh
+
+        def shard(x):
+            if mesh is None or x is None:
+                return x
+            from animate_anything_tpu.core.mesh import AXIS_DATA, AXIS_FRAME, constrain
+
+            axes = dict(zip(mesh.axis_names, mesh.devices.shape))
+            frame = AXIS_FRAME if axes.get(AXIS_FRAME, 1) > 1 and x.shape[1] % axes[AXIS_FRAME] == 0 else None
+            data = AXIS_DATA if axes.get(AXIS_DATA, 1) > 1 and x.shape[0] % axes[AXIS_DATA] == 0 else None
+            return constrain(x, mesh, data, frame, *([None] * (x.ndim - 2)))
 
         @functools.partial(jax.jit, static_argnames=("timesteps",))
         def denoise(unet_params, latents, condition_latent, embeds, mask, motion,
                     guidance_scale, timesteps):
+            latents = shard(latents)
             b = latents.shape[0]
             cond2 = jnp.concatenate([condition_latent, condition_latent])
             mask2 = None if mask is None else jnp.concatenate([mask, mask])

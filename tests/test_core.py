@@ -58,8 +58,10 @@ def test_mesh_shapes():
     assert mesh.devices.shape == (4, 2)
     mesh2 = create_mesh({AXIS_DATA: -1, AXIS_FRAME: 2})
     assert mesh2.devices.shape == (4, 2)
+    # subset meshes are allowed (single-device training on a multi-device host)
+    assert create_mesh({AXIS_DATA: 3}).devices.shape == (3,)
     with pytest.raises(ValueError):
-        create_mesh({AXIS_DATA: 3})
+        create_mesh({AXIS_DATA: 16})  # more than available
 
 
 def test_shard_batch_places_on_data_axis():
