@@ -54,6 +54,7 @@ class TimestepEmbedding(nn.Module):
 
     time_embed_dim: int
     cond_proj_dim: Optional[int] = None
+    out_dim: Optional[int] = None   # diffusers TimestepEmbedding out_dim
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -67,7 +68,7 @@ class TimestepEmbedding(nn.Module):
             sample = sample + cond
         sample = nn.Dense(self.time_embed_dim, dtype=self.dtype, name="linear_1")(sample)
         sample = nn.silu(sample)
-        sample = nn.Dense(self.time_embed_dim, dtype=self.dtype, name="linear_2")(sample)
+        sample = nn.Dense(self.out_dim or self.time_embed_dim, dtype=self.dtype, name="linear_2")(sample)
         return sample
 
 

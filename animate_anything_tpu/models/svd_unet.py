@@ -176,9 +176,10 @@ class TransformerSpatioTemporalModel(nn.Module):
         ctx_temporal = jnp.repeat(context.astype(self.dtype), hh * ww, axis=0)  # (b·hw,1,d)
 
         # frame-position embedding added before the temporal block
+        # (diffusers TimestepEmbedding(inner, inner*4, out_dim=inner))
         f_emb = timestep_embedding(jnp.arange(f, dtype=jnp.float32), inner).astype(self.dtype)
-        f_emb = TimestepEmbedding(inner * 4, dtype=self.dtype, name="time_pos_embed")(f_emb)
-        f_emb = nn.Dense(inner, dtype=self.dtype, name="time_pos_embed_out")(f_emb)
+        f_emb = TimestepEmbedding(inner * 4, out_dim=inner, dtype=self.dtype,
+                                  name="time_pos_embed")(f_emb)
 
         for i in range(self.num_layers):
             h = BasicTransformerBlock(

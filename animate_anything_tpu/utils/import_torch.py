@@ -174,6 +174,57 @@ def convert_vae(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
     return tree
 
 
+def _rename_svd_unet(key: str) -> str | None:
+    """diffusers UNetSpatioTemporalConditionModel → models/svd_unet.py names.
+
+    Our SVD module uses flat block names (down_blocks_0_resnets_0) holding
+    {spatial_res_block, temporal_res_block, time_mixer} submodules that match
+    diffusers' attribute names 1:1; temporal conv3d kernels go through the
+    rank-5 layout rule."""
+    if ".to_out.1." in key:
+        return None
+    key = re.sub(r"^(down|up)_blocks\.(\d+)\.(resnets|attentions)\.(\d+)\.",
+                 r"\1_blocks_\2_\3_\4.", key)
+    key = re.sub(r"^down_blocks\.(\d+)\.downsamplers\.0\.conv\.", r"down_blocks_\1_downsample.conv.", key)
+    key = re.sub(r"^up_blocks\.(\d+)\.upsamplers\.0\.conv\.", r"up_blocks_\1_upsample.conv.", key)
+    key = re.sub(r"^mid_block\.resnets\.(\d+)\.", r"mid_resnets_\1.", key)
+    key = re.sub(r"^mid_block\.attentions\.(\d+)\.", r"mid_attentions_\1.", key)
+    key = _flatten_lists(key)  # transformer_blocks.N → transformer_blocks_N etc.
+    key = re.sub(r"\btemporal_transformer_blocks\.(\d+)", r"temporal_transformer_blocks_\1", key)
+    # diffusers has ONE time_mixer per spatio-temporal transformer; ours is
+    # per-layer (layer 0 in SVD). Resnet time_mixers keep their name.
+    if "_attentions_" in key or key.startswith("mid_attentions"):
+        key = key.replace(".time_mixer.", ".time_mixer_0.")
+    key = key.replace(".to_out.0.", ".to_out_0.")
+    key = re.sub(r"\.(ff|ff_in)\.net\.0\.proj\.", r".\1.net_0_proj.", key)
+    key = re.sub(r"\.(ff|ff_in)\.net\.2\.", r".\1.net_2.", key)
+    return key
+
+
+def convert_svd_unet(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    return convert_generic(sd, _rename_svd_unet)
+
+
+def _rename_clip_vision(key: str) -> str | None:
+    if key in ("vision_model.embeddings.position_ids",):
+        return None
+    key = key.replace("vision_model.", "")
+    key = key.replace("embeddings.class_embedding", "class_embedding")
+    key = key.replace("embeddings.patch_embedding.", "patch_embedding.")
+    key = key.replace("embeddings.position_embedding.", "position_embedding.")
+    key = _flatten_lists(key)
+    key = key.replace("encoder.layers_", "layers_")
+    key = key.replace(".self_attn.", ".")
+    key = key.replace(".mlp.", ".")
+    return key
+
+
+def convert_clip_vision(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    tree = convert_generic(sd, _rename_clip_vision)
+    # class_embedding is a bare param (1D), keep name as-is
+    return tree
+
+
 def _rename_clip_text(key: str) -> str | None:
     if key in ("text_model.embeddings.position_ids", "position_ids"):
         return None
@@ -285,6 +336,28 @@ def export_unet3d(params: Dict[str, Any]) -> Dict[str, np.ndarray]:
         k = k.replace(".to_out_0.", ".to_out.0.")
         k = k.replace(".ff.net_0_proj.", ".ff.net.0.proj.")
         k = k.replace(".ff.net_2.", ".ff.net.2.")
+        k, w = _export_tensor(k, np.asarray(w), temporal)
+        out[k] = w
+    return out
+
+
+def export_svd_unet(params: Dict[str, Any]) -> Dict[str, np.ndarray]:
+    tree = params.get("params", params)
+    out = {}
+    for key, w in _flatten_tree(tree).items():
+        temporal = ".temporal_res_block." in "." + key
+        k = re.sub(r"^(down|up)_blocks_(\d+)_(resnets|attentions)_(\d+)\.",
+                   r"\1_blocks.\2.\3.\4.", key)
+        k = re.sub(r"^down_blocks_(\d+)_downsample\.conv\.", r"down_blocks.\1.downsamplers.0.conv.", k)
+        k = re.sub(r"^up_blocks_(\d+)_upsample\.conv\.", r"up_blocks.\1.upsamplers.0.conv.", k)
+        k = re.sub(r"^mid_resnets_(\d+)\.", r"mid_block.resnets.\1.", k)
+        k = re.sub(r"^mid_attentions_(\d+)\.", r"mid_block.attentions.\1.", k)
+        k = re.sub(r"\btransformer_blocks_(\d+)\b", r"transformer_blocks.\1", k)
+        k = re.sub(r"\btemporal_transformer_blocks_(\d+)\b", r"temporal_transformer_blocks.\1", k)
+        k = re.sub(r"\btime_mixer_(\d+)\b", r"time_mixer", k)
+        k = k.replace(".to_out_0.", ".to_out.0.")
+        k = re.sub(r"\.(ff|ff_in)\.net_0_proj\.", r".\1.net.0.proj.", k)
+        k = re.sub(r"\.(ff|ff_in)\.net_2\.", r".\1.net.2.", k)
         k, w = _export_tensor(k, np.asarray(w), temporal)
         out[k] = w
     return out

@@ -158,3 +158,63 @@ def test_expand_conv_in_channels():
     assert k2.shape == (3, 3, 5, 8)
     np.testing.assert_allclose(k2[:, :, :4], 1.0)
     np.testing.assert_allclose(k2[:, :, 4:], 0.0)
+
+
+def test_svd_unet_torch_roundtrip():
+    from animate_anything_tpu.models.svd_unet import SVDUNetConfig, UNetSpatioTemporalConditionModel
+    from animate_anything_tpu.utils.import_torch import convert_svd_unet, export_svd_unet
+
+    cfg = SVDUNetConfig.tiny(in_channels=9)
+    model = UNetSpatioTemporalConditionModel(cfg)
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 2, 8, 8, 9)), jnp.array(0.5),
+        jnp.zeros((1, 1, 32)), jnp.zeros((1, 3)),
+    )
+    sd = _roundtrip(params, export_svd_unet, convert_svd_unet)
+    assert "down_blocks.0.resnets.0.spatial_res_block.conv1.weight" in sd
+    assert sd["down_blocks.0.resnets.0.temporal_res_block.conv1.weight"].ndim == 5
+    assert "down_blocks.0.resnets.0.time_mixer.mix_factor" in sd
+    assert "down_blocks.0.attentions.0.time_mixer.mix_factor" in sd
+    assert "down_blocks.0.attentions.0.temporal_transformer_blocks.0.ff_in.net.0.proj.weight" in sd
+    assert "down_blocks.0.attentions.0.time_pos_embed.linear_2.weight" in sd
+    assert "add_embedding.linear_1.weight" in sd
+    assert "mid_block.attentions.0.proj_in.weight" in sd
+
+
+def test_clip_vision_torch_roundtrip():
+    from animate_anything_tpu.models.clip_vision import CLIPVisionConfig, CLIPVisionModelWithProjection
+    from animate_anything_tpu.utils.import_torch import convert_clip_vision
+
+    cfg = CLIPVisionConfig.tiny()
+    model = CLIPVisionModelWithProjection(cfg)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+    # forward-direction only: craft diffusers-style keys and verify strict fit
+    from animate_anything_tpu.utils.import_torch import align_to_params
+    import numpy as np
+
+    p = params["params"]
+    sd = {}
+    sd["visual_projection.weight"] = np.asarray(p["visual_projection"]["kernel"]).T
+    sd["vision_model.embeddings.class_embedding"] = np.asarray(p["class_embedding"])
+    sd["vision_model.embeddings.patch_embedding.weight"] = np.asarray(
+        p["patch_embedding"]["kernel"]).transpose(3, 2, 0, 1)
+    sd["vision_model.embeddings.position_embedding.weight"] = np.asarray(
+        p["position_embedding"]["embedding"])
+    sd["vision_model.embeddings.position_ids"] = np.arange(17)[None]
+    for which in ("pre_layrnorm", "post_layernorm"):
+        sd[f"vision_model.{which}.weight"] = np.asarray(p[which]["scale"])
+        sd[f"vision_model.{which}.bias"] = np.asarray(p[which]["bias"])
+    for i in range(cfg.num_layers):
+        lp = p[f"layers_{i}"]
+        for proj in ("q_proj", "k_proj", "v_proj", "out_proj"):
+            sd[f"vision_model.encoder.layers.{i}.self_attn.{proj}.weight"] = np.asarray(lp[proj]["kernel"]).T
+            sd[f"vision_model.encoder.layers.{i}.self_attn.{proj}.bias"] = np.asarray(lp[proj]["bias"])
+        for fc in ("fc1", "fc2"):
+            sd[f"vision_model.encoder.layers.{i}.mlp.{fc}.weight"] = np.asarray(lp[fc]["kernel"]).T
+            sd[f"vision_model.encoder.layers.{i}.mlp.{fc}.bias"] = np.asarray(lp[fc]["bias"])
+        for ln in ("layer_norm1", "layer_norm2"):
+            sd[f"vision_model.encoder.layers.{i}.{ln}.weight"] = np.asarray(lp[ln]["scale"])
+            sd[f"vision_model.encoder.layers.{i}.{ln}.bias"] = np.asarray(lp[ln]["bias"])
+    imported = convert_clip_vision(sd)
+    aligned, missing, unexpected = align_to_params(imported, params, strict=True)
+    assert not missing and not unexpected
