@@ -129,14 +129,8 @@ class TemporalConvLayer(nn.Module):
             h = nn.silu(h).astype(self.dtype)
             if idx > 1 and self.dropout > 0 and not deterministic:
                 h = nn.Dropout(self.dropout, deterministic=False)(h)
-            kernel_init = nn.initializers.zeros if zero_init else nn.initializers.lecun_normal()
-            h = nn.Conv(
-                features,
-                (3, 1),
-                padding=((1, 1), (0, 0)),
-                dtype=self.dtype,
-                kernel_init=kernel_init,
-                name=f"conv{idx}",
+            h = TemporalTapConv(
+                features, zero_init=zero_init, dtype=self.dtype, name=f"conv{idx}"
             )(h)
             return h
 
@@ -147,6 +141,34 @@ class TemporalConvLayer(nn.Module):
 
         h = identity + h
         return h.reshape(bf, hh, ww, c)
+
+
+class TemporalTapConv(nn.Module):
+    """Frame-axis conv (kernel 3) on (b, f, s, c) as 3 shifted dense matmuls.
+
+    Param layout stays the conv (3, 1, in, out) kernel for checkpoint
+    compatibility; XLA's conv path tiles the (f≈17, h·w) window poorly
+    (measured 3-4× slower than this explicit-tap form on v5e)."""
+
+    features: int
+    zero_init: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, h: jnp.ndarray) -> jnp.ndarray:
+        kernel_init = (
+            nn.initializers.zeros if self.zero_init else nn.initializers.lecun_normal()
+        )
+        w = self.param("kernel", kernel_init, (3, 1, h.shape[-1], self.features), self.dtype)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), self.dtype)
+        prev = jnp.pad(h[:, :-1], ((0, 0), (1, 0), (0, 0), (0, 0)))
+        nxt = jnp.pad(h[:, 1:], ((0, 0), (0, 1), (0, 0), (0, 0)))
+        out = (
+            jnp.einsum("bfsc,cd->bfsd", prev, w[0, 0], preferred_element_type=jnp.float32)
+            + jnp.einsum("bfsc,cd->bfsd", h, w[1, 0], preferred_element_type=jnp.float32)
+            + jnp.einsum("bfsc,cd->bfsd", nxt, w[2, 0], preferred_element_type=jnp.float32)
+        )
+        return out.astype(self.dtype) + bias
 
 
 class Downsample2D(nn.Module):
