@@ -20,6 +20,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from animate_anything_tpu.models.layers import FusedGroupNorm
 from animate_anything_tpu.ops.attention import attention
 
 
@@ -129,8 +130,7 @@ class SpatialTransformer(nn.Module):
         inner = self.heads * self.head_dim
         residual = x
 
-        h = nn.GroupNorm(num_groups=self.groups, epsilon=1e-6, dtype=jnp.float32, name="norm")(x)
-        h = h.astype(self.dtype)
+        h = FusedGroupNorm(self.groups, 1e-6, dtype=self.dtype, name="norm")(x)
         if self.use_linear_projection:
             h = h.reshape(bf, hh * ww, c)
             h = nn.Dense(inner, dtype=self.dtype, name="proj_in")(h)
@@ -222,8 +222,8 @@ class TemporalTransformer(nn.Module):
 
         h = x.reshape(b, num_frames, hh, ww, c)
         # GroupNorm stats over (f, h, w, c/groups) — matches torch GN on (b,c,f,h,w)
-        h = nn.GroupNorm(num_groups=self.groups, epsilon=1e-6, dtype=jnp.float32, name="norm")(h)
-        h = h.astype(self.dtype).reshape(b, num_frames, hh * ww, c)
+        h = FusedGroupNorm(self.groups, 1e-6, dtype=self.dtype, name="norm")(h)
+        h = h.reshape(b, num_frames, hh * ww, c)
         h = nn.Dense(inner, dtype=self.dtype, name="proj_in")(h)
 
         for i in range(self.num_layers):

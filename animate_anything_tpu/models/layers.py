@@ -25,6 +25,26 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from animate_anything_tpu.ops.group_norm import group_norm_silu
+
+
+class FusedGroupNorm(nn.Module):
+    """GroupNorm with optional fused SiLU (ops/group_norm.py — one-pass
+    pallas kernel on TPU, XLA math otherwise). Param tree identical to
+    flax nn.GroupNorm ({scale, bias})."""
+
+    groups: int
+    eps: float = 1e-5
+    silu: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        return group_norm_silu(x, scale, bias, self.groups, self.eps, self.silu)
+
 
 def timestep_embedding(
     timesteps: jnp.ndarray,
@@ -86,16 +106,14 @@ class ResnetBlock2D(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, temb: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         in_channels = x.shape[-1]
-        h = nn.GroupNorm(num_groups=self.groups, epsilon=self.eps, dtype=jnp.float32, name="norm1")(x)
-        h = nn.silu(h).astype(self.dtype)
+        h = FusedGroupNorm(self.groups, self.eps, silu=True, dtype=self.dtype, name="norm1")(x)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv1")(h)
 
         if temb is not None:
             t = nn.Dense(self.out_channels, dtype=self.dtype, name="time_emb_proj")(nn.silu(temb))
             h = h + t[:, None, None, :]
 
-        h = nn.GroupNorm(num_groups=self.groups, epsilon=self.eps, dtype=jnp.float32, name="norm2")(h)
-        h = nn.silu(h).astype(self.dtype)
+        h = FusedGroupNorm(self.groups, self.eps, silu=True, dtype=self.dtype, name="norm2")(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv2")(h)
 
         if in_channels != self.out_channels:
@@ -125,8 +143,7 @@ class TemporalConvLayer(nn.Module):
         identity = h
 
         def stage(h, idx, features, zero_init=False):
-            h = nn.GroupNorm(num_groups=32, epsilon=1e-5, dtype=jnp.float32, name=f"norm{idx}")(h)
-            h = nn.silu(h).astype(self.dtype)
+            h = FusedGroupNorm(32, 1e-5, silu=True, dtype=self.dtype, name=f"norm{idx}")(h)
             if idx > 1 and self.dropout > 0 and not deterministic:
                 h = nn.Dropout(self.dropout, deterministic=False)(h)
             h = TemporalTapConv(

@@ -250,11 +250,10 @@ class UNet3DConditionModel(nn.Module):
                 raise ValueError(block_type)
 
         # 7. out
-        x = nn.GroupNorm(
-            num_groups=cfg.norm_num_groups, epsilon=cfg.norm_eps,
-            dtype=jnp.float32, name="conv_norm_out",
-        )(x)
-        x = nn.silu(x)
+        from animate_anything_tpu.models.layers import FusedGroupNorm
+
+        x = FusedGroupNorm(cfg.norm_num_groups, cfg.norm_eps, silu=True,
+                           dtype=self.dtype, name="conv_norm_out")(x)
         x = nn.Conv(cfg.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv_out")(x)
 
         x = x.reshape(b, nf, x.shape[1], x.shape[2], cfg.out_channels)

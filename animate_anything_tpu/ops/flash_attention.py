@@ -54,13 +54,15 @@ def _attn_kernel(valid_k_ref, q_ref, k_ref, v_ref, o_ref, *, scale: float):
     q_ref: (1, BQ, D); k_ref/v_ref: (1, Sk_pad, D); o_ref: (1, BQ, D).
     valid_k_ref: SMEM scalar — number of real K rows (rest is padding).
     """
-    q = q_ref[0].astype(jnp.float32)          # (BQ, D)
-    k = k_ref[0].astype(jnp.float32)          # (Sk, D)
-    v = v_ref[0].astype(jnp.float32)
+    # keep matmul INPUTS in the storage dtype (bf16 → fast MXU mode) and
+    # accumulate fp32 via preferred_element_type; only softmax runs fp32
+    q = q_ref[0]                               # (BQ, D)
+    k = k_ref[0]                               # (Sk, D)
+    v = v_ref[0]
 
     scores = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale                                  # (BQ, Sk)
+    ) * scale                                  # (BQ, Sk) fp32
 
     valid_k = valid_k_ref[0]
     col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
@@ -69,7 +71,7 @@ def _attn_kernel(valid_k_ref, q_ref, k_ref, v_ref, o_ref, *, scale: float):
     m = jnp.max(scores, axis=-1, keepdims=True)
     p = jnp.exp(scores - m)
     denom = jnp.sum(p, axis=-1, keepdims=True)
-    o = jnp.dot(p, v, preferred_element_type=jnp.float32) / denom
+    o = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32) / denom
     o_ref[0] = o.astype(o_ref.dtype)
 
 
