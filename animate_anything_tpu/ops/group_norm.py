@@ -44,50 +44,129 @@ def _onehot(c: int, groups: int, dtype=jnp.float32) -> jnp.ndarray:
     return jnp.asarray(eye, dtype)
 
 
-def _gn_kernel(x_ref, scale_ref, bias_ref, onehot_ref, o_ref, *, eps: float,
-               silu: bool, group_size: int):
-    x = x_ref[0]                                   # (S, C) storage dtype
-    xf = x.astype(jnp.float32)
-    onehot = onehot_ref[...]                       # (C, G) fp32
-    s = x.shape[0]
-    n = float(s * group_size)
+def _pick_chunk(s: int, c: int) -> int:
+    """Largest divisor of s (multiple of 8) whose fp32 chunk fits ~2MB."""
+    limit = max(8, (2**21) // (4 * c))
+    best = 0
+    d = 1
+    while d * d <= s:
+        if s % d == 0:
+            for cand in (d, s // d):
+                if cand % 8 == 0 and cand <= limit and cand > best:
+                    best = cand
+        d += 1
+    return best
 
-    sums = jax.lax.dot_general(                    # (S, C) @ (C, G) → (S, G)
-        xf, onehot, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+
+def _gn_stream_kernel(x_hbm, scale_ref, bias_ref, onehot_ref, o_hbm,
+                      xbuf, ybuf, sem_in, sem_out, *, eps: float, silu: bool,
+                      group_size: int, chunks: int, ch: int):
+    """Streaming GN+SiLU for one (S, C) sample: pass 1 accumulates per-group
+    Σx/Σx² over DMA'd chunks, pass 2 normalizes each chunk and DMAs it out.
+    Double-buffered in both directions; VMEM = 2 chunks each way."""
+    onehot = onehot_ref[...]
+    g = onehot.shape[1]
+    n = float(chunks * ch * group_size)
+
+    pid = pl.program_id(0)
+
+    def in_dma(slot, i):
+        return pltpu.make_async_copy(
+            x_hbm.at[pid, pl.ds(i * ch, ch), :], xbuf.at[slot], sem_in.at[slot]
+        )
+
+    def out_dma(slot, i):
+        return pltpu.make_async_copy(
+            ybuf.at[slot], o_hbm.at[pid, pl.ds(i * ch, ch), :], sem_out.at[slot]
+        )
+
+    # ---- pass 1: statistics
+    in_dma(0, 0).start()
+
+    def stat_body(i, acc):
+        slot = i % 2
+
+        @pl.when(i + 1 < chunks)
+        def _():
+            in_dma((i + 1) % 2, i + 1).start()
+
+        in_dma(slot, i).wait()
+        xb = xbuf[slot].astype(jnp.float32)
+        s1 = jax.lax.dot_general(
+            xb, onehot, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        s2 = jax.lax.dot_general(
+            xb * xb, onehot, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        return acc[0] + jnp.sum(s1, axis=0), acc[1] + jnp.sum(s2, axis=0)
+
+    sums, sqs = jax.lax.fori_loop(
+        0, chunks, stat_body, (jnp.zeros((g,), jnp.float32), jnp.zeros((g,), jnp.float32))
     )
-    sq_sums = jax.lax.dot_general(
-        xf * xf, onehot, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    g_sum = jnp.sum(sums, axis=0)                  # (G,)
-    g_sq = jnp.sum(sq_sums, axis=0)
-    mean = g_sum / n
-    var = g_sq / n - mean * mean
-    inv = jax.lax.rsqrt(var + eps)
-    # broadcast per-group → per-channel through onehotᵀ: (C,G)@(G,) per column
-    mean_c = jnp.dot(onehot, mean, preferred_element_type=jnp.float32)   # (C,)
+    mean = sums / n
+    inv = jax.lax.rsqrt(jnp.maximum(sqs / n - mean * mean, 0.0) + eps)
+    # fold everything into per-channel affine: y = x·a + b
+    mean_c = jnp.dot(onehot, mean, preferred_element_type=jnp.float32)
     inv_c = jnp.dot(onehot, inv, preferred_element_type=jnp.float32)
+    a = inv_c * scale_ref[...].astype(jnp.float32)
+    b = bias_ref[...].astype(jnp.float32) - mean_c * a
 
-    y = (xf - mean_c[None, :]) * inv_c[None, :]
-    y = y * scale_ref[...].astype(jnp.float32)[None, :] + bias_ref[...].astype(jnp.float32)[None, :]
-    if silu:
-        y = y * jax.nn.sigmoid(y)
-    o_ref[0] = y.astype(o_ref.dtype)
+    # ---- pass 2: normalize + activate + write
+    in_dma(0, 0).start()
+
+    def norm_body(i, _):
+        slot = i % 2
+
+        @pl.when(i + 1 < chunks)
+        def _():
+            in_dma((i + 1) % 2, i + 1).start()
+
+        in_dma(slot, i).wait()
+
+        @pl.when(i >= 2)
+        def _():
+            out_dma(slot, i - 2).wait()
+
+        xb = xbuf[slot].astype(jnp.float32)
+        y = xb * a[None, :] + b[None, :]
+        if silu:
+            y = y * jax.nn.sigmoid(y)
+        ybuf[slot] = y.astype(ybuf.dtype)
+        out_dma(slot, i).start()
+        return 0
+
+    jax.lax.fori_loop(0, chunks, norm_body, 0)
+    out_dma((chunks - 1) % 2, chunks - 1).wait()
+
+    @pl.when(chunks >= 2)
+    def _():
+        out_dma(chunks % 2, chunks - 2).wait()
 
 
-def _pallas_group_norm(x2, scale, bias, groups, eps, silu):
+def _pallas_group_norm(x2, scale, bias, groups, eps, silu, ch):
     n, s, c = x2.shape
     onehot = _onehot(c, groups)
+    chunks = s // ch
     return pl.pallas_call(
-        functools.partial(_gn_kernel, eps=eps, silu=silu, group_size=c // groups),
+        functools.partial(
+            _gn_stream_kernel, eps=eps, silu=silu,
+            group_size=c // groups, chunks=chunks, ch=ch,
+        ),
         grid=(n,),
         in_specs=[
-            pl.BlockSpec((1, s, c), lambda i: (i, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),   # full (n, s, c), sliced by pid
             pl.BlockSpec((c,), lambda i: (0,)),
             pl.BlockSpec((c,), lambda i: (0,)),
             pl.BlockSpec((c, groups), lambda i: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, s, c), lambda i: (i, 0, 0)),
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         out_shape=jax.ShapeDtypeStruct((n, s, c), x2.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, ch, c), x2.dtype),
+            pltpu.VMEM((2, ch, c), x2.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
@@ -123,13 +202,11 @@ def group_norm_silu(
     shape = x.shape
     x2 = x.reshape(shape[0], -1, shape[-1])
     c = shape[-1]
-    use_pallas = (
-        impl == "pallas"
-        and c % groups == 0
-        and x2.shape[1] * c * 6 < 14 * 2**20  # whole sample + fp32 temps in VMEM
-    )
-    if use_pallas:
-        out = _pallas_group_norm(x2, scale, bias, groups, eps, silu)
+    ch = _pick_chunk(x2.shape[1], c) if impl == "pallas" else 0
+    # Mosaic DMA/tiling requires a lane-aligned channel dim (c % 128) — the
+    # 320-ch level routes to XLA (measured compile failure otherwise)
+    if impl == "pallas" and c % groups == 0 and c % 128 == 0 and ch >= 8:
+        out = _pallas_group_norm(x2, scale, bias, groups, eps, silu, ch)
     else:
         out = _xla_group_norm(x2, scale, bias, groups, eps, silu)
     return out.reshape(shape)
