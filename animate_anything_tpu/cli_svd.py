@@ -135,8 +135,35 @@ def main(**cfg_kw) -> str:
                        echo=global_step % int(cfg.get("log_every", 10)) == 0)
             if global_step % ckpt_steps == 0 or global_step >= max_steps:
                 save_checkpoint(os.path.join(run_dir, "ckpt"), state)
+                if bool(cfg.get("save_pretrained_model", True)):
+                    _save_svd_pipeline(
+                        os.path.join(run_dir, f"pipeline_step_{global_step}"),
+                        jax.device_get(state.params), models["unet_config"],
+                    )
     logger.close()
     return run_dir
+
+
+def _save_svd_pipeline(out_dir: str, unet_params, unet_config) -> str:
+    """diffusers-layout export for the SVD unet (save_pipe parity)."""
+    import dataclasses
+    import json
+
+    from safetensors.numpy import save_file
+
+    from animate_anything_tpu.utils.import_torch import export_svd_unet
+
+    os.makedirs(os.path.join(out_dir, "unet"), exist_ok=True)
+    cfg = dataclasses.asdict(unet_config)
+    cfg["_class_name"] = "UNetSpatioTemporalConditionModel"
+    with open(os.path.join(out_dir, "unet", "config.json"), "w") as f:
+        json.dump(cfg, f, indent=2, default=str)
+    sd = export_svd_unet(unet_params)
+    save_file(
+        {k: np.ascontiguousarray(np.asarray(v, np.float32)) for k, v in sd.items()},
+        os.path.join(out_dir, "unet", "diffusion_pytorch_model.safetensors"),
+    )
+    return out_dir
 
 
 def main_eval(**cfg_kw) -> dict:
