@@ -158,22 +158,28 @@ class SpatialTransformer(nn.Module):
 
 
 class TemporalSelfAttention(nn.Module):
-    """Self-attention over the FRAME axis of a (b, f, s, c) tensor, computed
-    as one dot_general with batch dims (b, s, heads) — no layout transpose.
+    """Self-attention over the FRAME axis of a (b, f, s, c) tensor — no
+    (b·s, f, c) layout transpose.
 
     The naive formulation (reshape to (b·s, f, c) and call batched attention)
     costs two 90MB+ strided transposes per layer and leaves the MXU idle on
     17×17 score tiles; measured on v5e it was 39% of the whole UNet step.
-    Here frames stay in place: scores = einsum('bfshd,bgshd->bshfg').
+    impl='xla' computes scores in place as einsum('bfshd,bgshd->bshfg');
+    impl='pallas' uses the packed kernel (ops/temporal_attention.py) that
+    folds ⌊128/f⌋ locations into each MXU tile and keeps scores in VMEM.
     Param names/shapes match CrossAttention (to_q/to_k/to_v/to_out_0), so
-    checkpoints are interchangeable between the two formulations."""
+    checkpoints are interchangeable between the formulations."""
 
     heads: int
     head_dim: int
+    attn_impl: Optional[str] = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from animate_anything_tpu.ops.attention import default_attn_impl
+        from animate_anything_tpu.ops.temporal_attention import temporal_attention
+
         b, f, s, c = x.shape
         inner = self.heads * self.head_dim
         q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
@@ -183,17 +189,56 @@ class TemporalSelfAttention(nn.Module):
         k = k.reshape(b, f, s, self.heads, self.head_dim)
         v = v.reshape(b, f, s, self.heads, self.head_dim)
 
-        scale = 1.0 / (self.head_dim ** 0.5)
-        scores = jnp.einsum(
-            "bfshd,bgshd->bshfg", q, k, preferred_element_type=jnp.float32
-        ) * scale
-        probs = jax.nn.softmax(scores, axis=-1)
-        out = jnp.einsum(
-            "bshfg,bgshd->bfshd", probs.astype(v.dtype), v,
-            preferred_element_type=jnp.float32,
+        out = temporal_attention(
+            q, k, v, impl=self.attn_impl or default_attn_impl()
         ).astype(x.dtype)
         out = out.reshape(b, f, s, inner)
         return nn.Dense(c, dtype=self.dtype, name="to_out_0")(out)
+
+
+class _LNParams(nn.Module):
+    """Param-only twin of nn.LayerNorm — same tree path {scale, bias}, same
+    init, no compute (the fused kernel consumes the raw arrays)."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        s = self.param("scale", nn.initializers.ones, (self.dim,), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros, (self.dim,), jnp.float32)
+        return s, b
+
+
+class _DenseParams(nn.Module):
+    """Param-only twin of nn.Dense — same tree path {kernel[, bias]}, same
+    init (lecun_normal / zeros)."""
+
+    in_dim: int
+    out_dim: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (self.in_dim, self.out_dim), jnp.float32)
+        b = (self.param("bias", nn.initializers.zeros, (self.out_dim,), jnp.float32)
+             if self.use_bias else None)
+        return k, b
+
+
+class _TemporalAttnParams(nn.Module):
+    """Param-only twin of TemporalSelfAttention (to_q/to_k/to_v/to_out_0)."""
+
+    dim: int
+    inner: int
+
+    @nn.compact
+    def __call__(self):
+        wq, _ = _DenseParams(self.dim, self.inner, use_bias=False, name="to_q")()
+        wk, _ = _DenseParams(self.dim, self.inner, use_bias=False, name="to_k")()
+        wv, _ = _DenseParams(self.dim, self.inner, use_bias=False, name="to_v")()
+        wo, bo = _DenseParams(self.inner, self.dim, name="to_out_0")()
+        return wq, wk, wv, wo, bo
 
 
 class TemporalTransformer(nn.Module):
@@ -202,8 +247,10 @@ class TemporalTransformer(nn.Module):
     double_self_attention=True, so attn2 is a second self-attention).
 
     Computed natively on the (b, f, h·w, c) view via TemporalSelfAttention —
-    the transpose-free formulation. Param tree is identical to the
-    (b·hw, f, c) formulation it replaced."""
+    the transpose-free formulation — or, with attn_impl='pallas', via the
+    fused temporal-block kernel on a packed token layout (packed once around
+    both attention blocks and the feed-forward; ops/temporal_block.py). Param
+    tree is identical across all three formulations."""
 
     heads: int
     head_dim: int
@@ -214,6 +261,9 @@ class TemporalTransformer(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, num_frames: int) -> jnp.ndarray:
+        from animate_anything_tpu.ops.temporal_block import (
+            fused_ok, pack_frames, pack_geometry, unpack_frames)
+
         # x: (b*f, h, w, c) → (b, f, h·w, c); attention along axis 1
         bf, hh, ww, c = x.shape
         b = bf // num_frames
@@ -226,11 +276,18 @@ class TemporalTransformer(nn.Module):
         h = h.reshape(b, num_frames, hh * ww, c)
         h = nn.Dense(inner, dtype=self.dtype, name="proj_in")(h)
 
+        use_fused = self.attn_impl == "pallas" and fused_ok(
+            num_frames, inner, self.heads, self.head_dim)
+        geom = pack_geometry(num_frames, hh * ww) if use_fused else None
+        if use_fused:
+            h = pack_frames(h, geom)
         for i in range(self.num_layers):
             h = TemporalBasicBlock(
-                self.heads, self.head_dim, dtype=self.dtype,
-                name=f"transformer_blocks_{i}",
-            )(h)
+                self.heads, self.head_dim, attn_impl=self.attn_impl,
+                dtype=self.dtype, name=f"transformer_blocks_{i}",
+            )(h, packed_geom=geom)
+        if use_fused:
+            h = unpack_frames(h, geom)
 
         h = nn.Dense(c, dtype=self.dtype, name="proj_out")(h)
         return h.reshape(bf, hh, ww, c) + residual
@@ -239,17 +296,38 @@ class TemporalTransformer(nn.Module):
 class TemporalBasicBlock(nn.Module):
     """Double-self-attention transformer block on (b, f, s, c) — the
     transpose-free twin of BasicTransformerBlock(double_self_attention=True);
-    identical param tree (norm1/attn1/norm2/attn2/norm3/ff)."""
+    identical param tree (norm1/attn1/norm2/attn2/norm3/ff).
+
+    When called with packed_geom (packed (b, tokens, c) input), norm1+attn1
+    and norm2+attn2 each run as ONE fused Pallas kernel; norm3+ff are
+    token-local and run on the packed layout directly."""
 
     heads: int
     head_dim: int
+    attn_impl: Optional[str] = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, h: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, h: jnp.ndarray, packed_geom=None) -> jnp.ndarray:
+        if packed_geom is not None:
+            from animate_anything_tpu.ops.temporal_block import fused_temporal_attn_block
+
+            c = h.shape[-1]
+            for ln_name, attn_name in (("norm1", "attn1"), ("norm2", "attn2")):
+                s, b = _LNParams(c, name=ln_name)()
+                wq, wk, wv, wo, bo = _TemporalAttnParams(c, c, name=attn_name)()
+                h = fused_temporal_attn_block(
+                    h.astype(self.dtype), s, b, wq, wk, wv, wo, bo,
+                    geom=packed_geom, heads=self.heads, head_dim=self.head_dim,
+                )
+            hn = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm3")(h).astype(self.dtype)
+            return h + GEGLUFeedForward(dtype=self.dtype, name="ff")(hn)
+
         hn = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm1")(h).astype(self.dtype)
-        h = h + TemporalSelfAttention(self.heads, self.head_dim, dtype=self.dtype, name="attn1")(hn)
+        h = h + TemporalSelfAttention(
+            self.heads, self.head_dim, attn_impl=self.attn_impl, dtype=self.dtype, name="attn1")(hn)
         hn = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm2")(h).astype(self.dtype)
-        h = h + TemporalSelfAttention(self.heads, self.head_dim, dtype=self.dtype, name="attn2")(hn)
+        h = h + TemporalSelfAttention(
+            self.heads, self.head_dim, attn_impl=self.attn_impl, dtype=self.dtype, name="attn2")(hn)
         hn = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm3")(h).astype(self.dtype)
         return h + GEGLUFeedForward(dtype=self.dtype, name="ff")(hn)

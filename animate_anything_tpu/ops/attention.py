@@ -31,6 +31,10 @@ def set_default_attn_impl(impl: str) -> None:
     _DEFAULT_IMPL = impl
 
 
+def default_attn_impl() -> str:
+    return _DEFAULT_IMPL
+
+
 def attention(
     q: jnp.ndarray,
     k: jnp.ndarray,

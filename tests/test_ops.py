@@ -71,3 +71,107 @@ def test_group_norm_matches_flax():
     fl = M().apply({"params": {"GroupNorm_0": {"scale": scale, "bias": bias}}}, x)
     ours = group_norm_silu(x, scale, bias, groups=16, silu=False, impl="xla")
     np.testing.assert_allclose(np.asarray(ours), np.asarray(fl), atol=1e-5)
+
+
+def test_temporal_attention_packed_matches_einsum():
+    from animate_anything_tpu.ops.temporal_attention import (
+        _einsum_reference, _temporal_attention_p)
+
+    # f=17 (16 frames + condition), s NOT divisible by the pack size → padding
+    q = jax.random.normal(jax.random.PRNGKey(0), (1, 17, 33, 2, 64))
+    k = jax.random.normal(jax.random.PRNGKey(1), (1, 17, 33, 2, 64))
+    v = jax.random.normal(jax.random.PRNGKey(2), (1, 17, 33, 2, 64))
+    ref = _einsum_reference(q, k, v)
+    with pltpu.force_tpu_interpret_mode():
+        out = _temporal_attention_p(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+@pytest.mark.parametrize("f", [2, 14])
+def test_temporal_attention_packed_other_frame_counts(f):
+    from animate_anything_tpu.ops.temporal_attention import (
+        _einsum_reference, _temporal_attention_p)
+
+    q = jax.random.normal(jax.random.PRNGKey(3), (2, f, 40, 1, 32))
+    ref = _einsum_reference(q, q, q)
+    with pltpu.force_tpu_interpret_mode():
+        out = _temporal_attention_p(q, q, q)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_temporal_attention_grad_finite():
+    from animate_anything_tpu.ops.temporal_attention import _temporal_attention_p
+
+    q = jax.random.normal(jax.random.PRNGKey(4), (1, 4, 16, 1, 32))
+
+    def loss(q):
+        with pltpu.force_tpu_interpret_mode():
+            return (_temporal_attention_p(q, q, q) ** 2).sum()
+
+    g = jax.grad(loss)(q)
+    assert np.isfinite(np.asarray(g)).all() and float(jnp.abs(g).sum()) > 0
+
+
+def test_temporal_attention_dispatch_xla_on_cpu():
+    from animate_anything_tpu.ops.temporal_attention import (
+        _einsum_reference, temporal_attention)
+
+    q = jax.random.normal(jax.random.PRNGKey(5), (1, 8, 64, 2, 32))
+    out = temporal_attention(q, q, q, impl="pallas")  # CPU → einsum fallback
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(_einsum_reference(q, q, q)), atol=1e-6
+    )
+
+
+def test_fused_temporal_block_pack_roundtrip():
+    from animate_anything_tpu.ops.temporal_block import (
+        pack_frames, pack_geometry, unpack_frames)
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 17, 33, 16))
+    g = pack_geometry(17, 33)
+    assert g.p == 7 and g.R == 119 and g.Rp == 120
+    y = unpack_frames(pack_frames(x, g), g)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(x))
+
+
+def test_fused_temporal_block_kernel_matches_reference():
+    from animate_anything_tpu.ops.temporal_block import (
+        _reference, fused_temporal_attn_block, pack_frames, pack_geometry)
+
+    c, heads, d, f, s = 128, 2, 64, 5, 26   # p=25, R=125, Rp=128, ragged s
+    ks = jax.random.split(jax.random.PRNGKey(0), 8)
+    x = jax.random.normal(ks[0], (2, f, s, c))
+    g = pack_geometry(f, s)
+    xp = pack_frames(x, g)
+    lns = jax.random.normal(ks[1], (c,)) * 0.1 + 1
+    lnb = jax.random.normal(ks[2], (c,)) * 0.1
+    ws = [jax.random.normal(k, (c, c)) * c ** -0.5 for k in ks[3:7]]
+    bo = jax.random.normal(ks[7], (c,)) * 0.1
+
+    ref = fused_temporal_attn_block(
+        xp, lns, lnb, *ws, bo, geom=g, heads=heads, head_dim=d, impl="xla")
+    with pltpu.force_tpu_interpret_mode():
+        out = fused_temporal_attn_block(
+            xp, lns, lnb, *ws, bo, geom=g, heads=heads, head_dim=d, impl="pallas")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
+
+
+def test_fused_temporal_block_equals_unfused_module():
+    """TemporalTransformer: pallas (fused, CPU → reference math on packed
+    layout) and xla (einsum) paths share one param tree and agree."""
+    from animate_anything_tpu.models.attention import TemporalTransformer
+
+    f, hh, ww, c = 5, 4, 6, 128
+    x = jax.random.normal(jax.random.PRNGKey(0), (2 * f, hh, ww, c))
+    m_x = TemporalTransformer(2, 64, attn_impl="xla", dtype=jnp.float32)
+    m_p = TemporalTransformer(2, 64, attn_impl="pallas", dtype=jnp.float32)
+    p_x = m_x.init(jax.random.PRNGKey(1), x, f)
+    p_p = m_p.init(jax.random.PRNGKey(1), x, f)
+    assert jax.tree_util.tree_structure(p_x) == jax.tree_util.tree_structure(p_p)
+    diffs = jax.tree_util.tree_map(lambda a, b: float(jnp.abs(a - b).max()), p_x, p_p)
+    assert max(jax.tree_util.tree_leaves(diffs)) == 0.0
+    np.testing.assert_allclose(
+        np.asarray(m_p.apply(p_p, x, f)), np.asarray(m_x.apply(p_x, x, f)), atol=5e-5)
+
+    g = jax.grad(lambda p: (m_p.apply(p, x, f) ** 2).sum())(p_p)
+    assert all(np.isfinite(np.asarray(l)).all() for l in jax.tree_util.tree_leaves(g))
