@@ -42,6 +42,14 @@ class DataLoader:
         self.drop_last = drop_last
         self.prefetch = prefetch
         self._epoch = 0
+        n = len(dataset)
+        if n == 0 or (drop_last and n < batch_size):
+            raise ValueError(
+                f"dataset yields no batches ({n} items, batch_size={batch_size}"
+                f"{', drop_last' if drop_last else ''}) — check train_data.path "
+                "and dataset_types; an empty loader would loop forever making "
+                "no training steps"
+            )
 
     def __len__(self):
         n = len(self.dataset) // self.batch_size

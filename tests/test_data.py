@@ -192,3 +192,12 @@ def test_dataloader_and_prefetch(gif_dir):
 def test_collate_mixed_types():
     out = collate([{"a": np.ones(2), "s": "x"}, {"a": np.zeros(2), "s": "y"}])
     assert out["a"].shape == (2, 2) and out["s"] == ["x", "y"]
+
+
+def test_loader_rejects_empty_dataset(tmp_path):
+    from animate_anything_tpu.data.datasets import FolderDataset
+    from animate_anything_tpu.data.loader import DataLoader
+
+    empty = FolderDataset(path=str(tmp_path), n_sample_frames=2, width=8, height=8)
+    with pytest.raises(ValueError, match="no batches"):
+        DataLoader(empty, batch_size=1)
