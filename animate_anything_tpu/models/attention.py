@@ -53,7 +53,12 @@ class CrossAttention(nn.Module):
         k = k.reshape(b, sk, self.heads, self.head_dim)
         v = v.reshape(b, sk, self.heads, self.head_dim)
 
-        out = attention(q, k, v, impl=self.attn_impl)
+        try:
+            path = tuple(self.scope.path)
+        except Exception:
+            path = ()
+        out = attention(q, k, v, impl=self.attn_impl,
+                        tag=(path, context is not None))
         out = out.reshape(b, sq, inner)
         return nn.Dense(out_dim, dtype=self.dtype, name="to_out_0")(out)
 

@@ -33,20 +33,32 @@ class HashTokenizer:
     def __init__(self, vocab_size: int = 49408, model_max_length: int = 77):
         self.vocab_size = vocab_size
         self.model_max_length = model_max_length
+        self._id2word = {}
+
+    def _word_id(self, w: str) -> int:
+        import hashlib
+
+        h = int(hashlib.md5(w.encode()).hexdigest(), 16) % (self.vocab_size - 2)
+        self._id2word[h] = w
+        return h
+
+    def encode(self, text: str):
+        """BOS + per-word ids + EOS (CLIPTokenizer.encode-compatible shape)."""
+        bos, eos = self.vocab_size - 2, self.vocab_size - 1
+        return [bos] + [self._word_id(w) for w in text.lower().split()] + [eos]
+
+    def decode(self, ids) -> str:
+        """Best-effort inverse (hash vocab remembers words it has seen)."""
+        return " ".join(self._id2word.get(int(i), "") for i in np.atleast_1d(np.asarray(ids)))
 
     def __call__(self, text, padding=None, truncation=True, max_length=77,
                  return_tensors="np", **kw):
-        import hashlib
-
         texts = [text] if isinstance(text, str) else list(text)
         max_length = min(max_length or self.model_max_length, self.model_max_length)
         bos, eos = self.vocab_size - 2, self.vocab_size - 1
         batch = []
         for t in texts:
-            ids = [bos]
-            for w in t.lower().split()[: max_length - 2]:
-                h = int(hashlib.md5(w.encode()).hexdigest(), 16)
-                ids.append(h % (self.vocab_size - 2))
+            ids = [bos] + [self._word_id(w) for w in t.lower().split()[: max_length - 2]]
             ids.append(eos)
             ids += [eos] * (max_length - len(ids))
             batch.append(ids[:max_length])

@@ -41,14 +41,42 @@ def attention(
     v: jnp.ndarray,
     impl: Optional[str] = None,
     is_causal: bool = False,
+    tag: Optional[tuple] = None,
 ) -> jnp.ndarray:
-    """Scaled dot-product attention over (B, S, H, D) tensors."""
+    """Scaled dot-product attention over (B, S, H, D) tensors.
+
+    tag = (module_path, is_cross): when a prompt-to-prompt controller is
+    active (utils/ptp.attention_control), attention runs on a
+    probability-materializing path and the controller can observe/rewrite
+    the probabilities (the TPU-native analog of the reference's processor
+    swapping, ptp_utils.py:273-361)."""
+    from animate_anything_tpu.utils.ptp import active_controller
+
+    ctrl = active_controller()
+    if ctrl is not None and not is_causal:
+        return _controlled_attention(q, k, v, ctrl, tag)
     impl = impl or _DEFAULT_IMPL
     if impl == "pallas":
         from animate_anything_tpu.ops.flash_attention import flash_attention
 
         return flash_attention(q, k, v, is_causal=is_causal)
     return _xla_attention(q, k, v, is_causal=is_causal)
+
+
+def _controlled_attention(q, k, v, ctrl, tag):
+    from animate_anything_tpu.utils.ptp import place_in_unet
+
+    path, is_cross = tag if tag is not None else ((), q is not k)
+    b, sq, h, d = q.shape
+    sk = k.shape[1]
+    scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                        preferred_element_type=jnp.float32) * (1.0 / d ** 0.5)
+    probs = jax.nn.softmax(scores, axis=-1).reshape(b * h, sq, sk)
+    probs = jnp.asarray(ctrl(probs, bool(is_cross), place_in_unet(tuple(path))))
+    probs = probs.reshape(b, h, sq, sk)
+    out = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(v.dtype), v,
+                     preferred_element_type=jnp.float32)
+    return out.astype(q.dtype)
 
 
 def _xla_attention(q, k, v, is_causal=False):
