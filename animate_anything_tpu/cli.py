@@ -173,6 +173,7 @@ def main(**cfg_kw) -> str:
     tconf = TrainConfig(
         learning_rate=float(cfg.get("learning_rate", 5e-6)),
         adam_weight_decay=float(cfg.get("adam_weight_decay", 1e-2)),
+        use_8bit_adam=bool(cfg.get("use_8bit_adam", False)),
         max_grad_norm=float(cfg.get("max_grad_norm", 1.0)),
         gradient_accumulation_steps=int(cfg.get("gradient_accumulation_steps", 1)),
         trainable_modules=tuple(cfg.get("trainable_modules", ["all"])),

@@ -122,9 +122,45 @@ class SpatioTemporalResBlock(nn.Module):
         return h
 
 
+class BroadcastCrossAttention(nn.Module):
+    """Cross-attention from (b, f, s, c) queries to a per-batch context
+    (b, L, ctx) without any layout transpose: scores are one einsum with
+    M = f·s on the MXU. Param tree identical to CrossAttention
+    (to_q/to_k/to_v/to_out_0)."""
+
+    heads: int
+    head_dim: int
+    context_dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context):
+        b, f, s, c = x.shape
+        inner = self.heads * self.head_dim
+        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
+        k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(context)
+        v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(context)
+        q = q.reshape(b, f, s, self.heads, self.head_dim)
+        k = k.reshape(b, -1, self.heads, self.head_dim)
+        v = v.reshape(b, -1, self.heads, self.head_dim)
+        scores = jnp.einsum("bfshd,blhd->bfshl", q, k,
+                            preferred_element_type=jnp.float32)
+        scores = scores * (1.0 / self.head_dim ** 0.5)
+        probs = jax.nn.softmax(scores, axis=-1)
+        out = jnp.einsum("bfshl,blhd->bfshd", probs.astype(v.dtype), v,
+                         preferred_element_type=jnp.float32).astype(x.dtype)
+        out = out.reshape(b, f, s, inner)
+        return nn.Dense(c, dtype=self.dtype, name="to_out_0")(out)
+
+
 class TemporalBasicTransformerBlock(nn.Module):
     """Temporal transformer block (diffusers): ff_in → self-attn over frames →
-    cross-attn to the (single-token) image context → ff."""
+    cross-attn to the image/text context → ff.
+
+    Computed transpose-free on the (b, f, h·w, c) view; with
+    attn_impl='pallas', norm1+attn1 run as the fused packed kernel
+    (ops/temporal_block.py). Param tree matches the (b·hw, f, c)
+    formulation it replaced."""
 
     heads: int
     head_dim: int
@@ -134,20 +170,40 @@ class TemporalBasicTransformerBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, context):
-        # x: (b*hw, f, c); context: (b*hw, 1, context_dim)
-        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm_in")(x)
-        x = x + GEGLUFeedForward(dtype=self.dtype, name="ff_in")(h)
+        from animate_anything_tpu.models.attention import (
+            TemporalSelfAttention, _LNParams, _TemporalAttnParams)
+        from animate_anything_tpu.ops.temporal_block import (
+            fused_ok, fused_temporal_attn_block, pack_frames, pack_geometry,
+            unpack_frames)
 
-        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm1")(x)
-        x = x + CrossAttention(self.heads, self.head_dim, attn_impl=self.attn_impl,
-                               dtype=self.dtype, name="attn1")(h)
+        # x: (b, f, s, c); context: (b, L, context_dim)
+        b, f, s, c = x.shape
+        inner = self.heads * self.head_dim
+        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm_in")(x)
+        x = x + GEGLUFeedForward(dtype=self.dtype, name="ff_in")(h.astype(self.dtype))
+
+        if self.attn_impl == "pallas" and fused_ok(f, inner, self.heads, self.head_dim) and inner == c:
+            geom = pack_geometry(f, s)
+            s1, b1 = _LNParams(c, name="norm1")()
+            wq, wk, wv, wo, bo = _TemporalAttnParams(c, c, name="attn1")()
+            xp = pack_frames(x.astype(self.dtype), geom)
+            xp = fused_temporal_attn_block(
+                xp, s1, b1, wq, wk, wv, wo, bo, geom=geom,
+                heads=self.heads, head_dim=self.head_dim)
+            x = unpack_frames(xp, geom)
+        else:
+            h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm1")(x)
+            x = x + TemporalSelfAttention(
+                self.heads, self.head_dim, attn_impl=self.attn_impl,
+                dtype=self.dtype, name="attn1")(h.astype(self.dtype))
 
         h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm2")(x)
-        x = x + CrossAttention(self.heads, self.head_dim, context_dim=self.context_dim,
-                               attn_impl=self.attn_impl, dtype=self.dtype, name="attn2")(h, context)
+        x = x + BroadcastCrossAttention(
+            self.heads, self.head_dim, context_dim=self.context_dim,
+            dtype=self.dtype, name="attn2")(h.astype(self.dtype), context)
 
         h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm3")(x)
-        return x + GEGLUFeedForward(dtype=self.dtype, name="ff")(h)
+        return x + GEGLUFeedForward(dtype=self.dtype, name="ff")(h.astype(self.dtype))
 
 
 class TransformerSpatioTemporalModel(nn.Module):
@@ -173,7 +229,7 @@ class TransformerSpatioTemporalModel(nn.Module):
         h = nn.Dense(inner, dtype=self.dtype, name="proj_in")(h)
 
         ctx_spatial = jnp.repeat(context.astype(self.dtype), f, axis=0)      # (bf,1,d)
-        ctx_temporal = jnp.repeat(context.astype(self.dtype), hh * ww, axis=0)  # (b·hw,1,d)
+        ctx_temporal = context.astype(self.dtype)                            # (b,L,d)
 
         # frame-position embedding added before the temporal block
         # (diffusers TimestepEmbedding(inner, inner*4, out_dim=inner))
@@ -188,14 +244,14 @@ class TransformerSpatioTemporalModel(nn.Module):
                 name=f"transformer_blocks_{i}",
             )(h, ctx_spatial)
             if f > 1:
-                hm = h.reshape(b, f, hh * ww, inner).transpose(0, 2, 1, 3)
-                hm = hm.reshape(b * hh * ww, f, inner) + f_emb[None]
+                # transpose-free: the temporal block works on (b, f, hw, c)
+                hm = h.reshape(b, f, hh * ww, inner) + f_emb[None, :, None, :]
                 hm = TemporalBasicTransformerBlock(
                     self.heads, self.head_dim, context_dim=self.context_dim,
                     attn_impl=self.attn_impl, dtype=self.dtype,
                     name=f"temporal_transformer_blocks_{i}",
                 )(hm, ctx_temporal)
-                hm = hm.reshape(b, hh * ww, f, inner).transpose(0, 2, 1, 3).reshape(bf, hh * ww, inner)
+                hm = hm.reshape(bf, hh * ww, inner)
                 h = AlphaBlender(name=f"time_mixer_{i}")(h, hm)
 
         h = nn.Dense(c, dtype=self.dtype, name="proj_out")(h)

@@ -50,6 +50,7 @@ class TrainConfig:
     adam_beta2: float = 0.999
     adam_eps: float = 1e-8
     adam_weight_decay: float = 1e-2
+    use_8bit_adam: bool = False
     max_grad_norm: float = 1.0
     gradient_accumulation_steps: int = 1
     trainable_modules: Tuple[str, ...] = ("all",)
@@ -97,16 +98,27 @@ def trainable_label_tree(params: Any, trainable_modules: Tuple[str, ...]) -> Any
 
 
 def make_optimizer(config: TrainConfig, params: Any) -> optax.GradientTransformation:
-    adamw = optax.chain(
-        optax.clip_by_global_norm(config.max_grad_norm),
-        optax.adamw(
+    if config.use_8bit_adam:
+        # bitsandbytes AdamW8bit parity (reference train.py:204-215):
+        # blockwise int8/uint8 moments, ~2 bytes/param optimizer state
+        from animate_anything_tpu.ops.adam8bit import adamw_8bit
+
+        inner = adamw_8bit(
             config.learning_rate,
             b1=config.adam_beta1,
             b2=config.adam_beta2,
             eps=config.adam_eps,
             weight_decay=config.adam_weight_decay,
-        ),
-    )
+        )
+    else:
+        inner = optax.adamw(
+            config.learning_rate,
+            b1=config.adam_beta1,
+            b2=config.adam_beta2,
+            eps=config.adam_eps,
+            weight_decay=config.adam_weight_decay,
+        )
+    adamw = optax.chain(optax.clip_by_global_norm(config.max_grad_norm), inner)
     labels = trainable_label_tree(params, config.trainable_modules)
     tx = optax.multi_transform({"train": adamw, "freeze": optax.set_to_zero()}, labels)
     if config.gradient_accumulation_steps > 1:

@@ -120,3 +120,24 @@ def test_svd_train_step(svd_setup):
     assert np.isfinite(float(metrics["loss"]))
     assert "mask_consistency_loss" in metrics
     assert int(new_state.step) == 1
+
+
+def test_svd_temporal_block_impl_parity():
+    """xla (einsum) and pallas (fused/packed reference on CPU) paths of the
+    transpose-free temporal block share a param tree and agree."""
+    import jax
+    import jax.numpy as jnp
+
+    from animate_anything_tpu.models.svd_unet import TemporalBasicTransformerBlock
+
+    b, f, s, c = 2, 5, 12, 128
+    x = jax.random.normal(jax.random.PRNGKey(0), (b, f, s, c))
+    ctx = jax.random.normal(jax.random.PRNGKey(1), (b, 3, 32))
+    m_x = TemporalBasicTransformerBlock(2, 64, context_dim=32, attn_impl="xla", dtype=jnp.float32)
+    m_p = TemporalBasicTransformerBlock(2, 64, context_dim=32, attn_impl="pallas", dtype=jnp.float32)
+    p_x = m_x.init(jax.random.PRNGKey(2), x, ctx)
+    p_p = m_p.init(jax.random.PRNGKey(2), x, ctx)
+    assert jax.tree_util.tree_structure(p_x) == jax.tree_util.tree_structure(p_p)
+    a = m_x.apply(p_x, x, ctx)
+    bb = m_p.apply(p_p, x, ctx)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(bb), atol=5e-5)

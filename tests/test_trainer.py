@@ -140,3 +140,49 @@ def test_multi_device_dp_zero_sharded_step():
         if hasattr(x, "sharding") and x.sharding.spec and AXIS_DATA in str(x.sharding.spec)
     ]
     assert sharded, "no optimizer state sharded over the data axis"
+
+
+def test_adamw_8bit_state_is_quantized_and_converges():
+    import optax
+
+    from animate_anything_tpu.ops.adam8bit import Adam8bitState, adamw_8bit
+
+    def loss_fn(p):
+        return ((p["w"] - 3.0) ** 2).sum() + ((p["b"] + 1.0) ** 2).sum()
+
+    params = {"w": jnp.zeros((300,)), "b": jnp.zeros((7,))}
+    tx8 = adamw_8bit(0.05, weight_decay=0.0)
+    txf = optax.adamw(0.05, weight_decay=0.0)
+
+    def run(tx, params, steps=200):
+        state = tx.init(params)
+
+        @jax.jit
+        def step(params, state):
+            g = jax.grad(loss_fn)(params)
+            upd, state = tx.update(g, state, params)
+            return optax.apply_updates(params, upd), state
+
+        for _ in range(steps):
+            params, state = step(params, state)
+        return params, state
+
+    p8, s8 = run(tx8, params)
+    pf, _ = run(txf, params)
+    # quantized moments: int8/uint8 storage
+    assert isinstance(s8, Adam8bitState)
+    assert s8.m["w"].q.dtype == jnp.int8 and s8.v["w"].q.dtype == jnp.uint8
+    assert s8.m["w"].q.shape == (300,)
+    # both optimizers land near the optimum
+    assert float(loss_fn(p8)) < 1e-2, float(loss_fn(p8))
+    np.testing.assert_allclose(np.asarray(p8["w"]), np.asarray(pf["w"]), atol=0.05)
+
+
+def test_adamw_8bit_in_trainer_chain():
+    from animate_anything_tpu.train.trainer import TrainConfig, create_train_state
+
+    params = {"layer": {"kernel": jnp.ones((64, 64)), "bias": jnp.zeros((64,))}}
+    st = create_train_state(params, TrainConfig(use_8bit_adam=True, learning_rate=1e-3))
+    g = jax.tree_util.tree_map(jnp.ones_like, params)
+    st2 = st.apply_gradients(g)
+    assert float(jnp.abs(st2.params["layer"]["kernel"] - 1.0).max()) > 0
