@@ -107,6 +107,13 @@ class BasicTransformerBlock(nn.Module):
             name="attn2",
         )(h, ctx)
 
+        if self.attn_impl == "pallas":
+            from animate_anything_tpu.ops.geglu import ln_geglu_ff
+
+            s3, b3 = _LNParams(x.shape[-1], name="norm3")()
+            w1, bb1, w2, bb2 = _GEGLUParams(x.shape[-1], name="ff")()
+            return ln_geglu_ff(x.astype(self.dtype), s3, b3, w1, bb1, w2, bb2,
+                               impl="pallas")
         h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm3")(x).astype(self.dtype)
         x = x + GEGLUFeedForward(dtype=self.dtype, name="ff")(h)
         return x
@@ -231,6 +238,20 @@ class _DenseParams(nn.Module):
         return k, b
 
 
+class _GEGLUParams(nn.Module):
+    """Param-only twin of GEGLUFeedForward (net_0_proj / net_2)."""
+
+    dim: int
+    mult: int = 4
+
+    @nn.compact
+    def __call__(self):
+        inner = self.dim * self.mult
+        w1, b1 = _DenseParams(self.dim, inner * 2, name="net_0_proj")()
+        w2, b2 = _DenseParams(inner, self.dim, name="net_2")()
+        return w1, b1, w2, b2
+
+
 class _TemporalAttnParams(nn.Module):
     """Param-only twin of TemporalSelfAttention (to_q/to_k/to_v/to_out_0)."""
 
@@ -325,8 +346,12 @@ class TemporalBasicBlock(nn.Module):
                     h.astype(self.dtype), s, b, wq, wk, wv, wo, bo,
                     geom=packed_geom, heads=self.heads, head_dim=self.head_dim,
                 )
-            hn = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm3")(h).astype(self.dtype)
-            return h + GEGLUFeedForward(dtype=self.dtype, name="ff")(hn)
+            from animate_anything_tpu.ops.geglu import ln_geglu_ff
+
+            s3, b3 = _LNParams(c, name="norm3")()
+            w1, bb1, w2, bb2 = _GEGLUParams(c, name="ff")()
+            return ln_geglu_ff(h.astype(self.dtype), s3, b3, w1, bb1, w2, bb2,
+                               impl="pallas")
 
         hn = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm1")(h).astype(self.dtype)
         h = h + TemporalSelfAttention(

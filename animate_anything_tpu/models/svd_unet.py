@@ -171,7 +171,8 @@ class TemporalBasicTransformerBlock(nn.Module):
     @nn.compact
     def __call__(self, x, context):
         from animate_anything_tpu.models.attention import (
-            TemporalSelfAttention, _LNParams, _TemporalAttnParams)
+            TemporalSelfAttention, _GEGLUParams, _LNParams, _TemporalAttnParams)
+        from animate_anything_tpu.ops.geglu import ln_geglu_ff
         from animate_anything_tpu.ops.temporal_block import (
             fused_ok, fused_temporal_attn_block, pack_frames, pack_geometry,
             unpack_frames)
@@ -179,8 +180,14 @@ class TemporalBasicTransformerBlock(nn.Module):
         # x: (b, f, s, c); context: (b, L, context_dim)
         b, f, s, c = x.shape
         inner = self.heads * self.head_dim
-        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm_in")(x)
-        x = x + GEGLUFeedForward(dtype=self.dtype, name="ff_in")(h.astype(self.dtype))
+        if self.attn_impl == "pallas":
+            si, bi = _LNParams(c, name="norm_in")()
+            w1, bb1, w2, bb2 = _GEGLUParams(c, name="ff_in")()
+            x = ln_geglu_ff(x.astype(self.dtype), si, bi, w1, bb1, w2, bb2,
+                            impl="pallas")
+        else:
+            h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm_in")(x)
+            x = x + GEGLUFeedForward(dtype=self.dtype, name="ff_in")(h.astype(self.dtype))
 
         if self.attn_impl == "pallas" and fused_ok(f, inner, self.heads, self.head_dim) and inner == c:
             geom = pack_geometry(f, s)
@@ -202,6 +209,11 @@ class TemporalBasicTransformerBlock(nn.Module):
             self.heads, self.head_dim, context_dim=self.context_dim,
             dtype=self.dtype, name="attn2")(h.astype(self.dtype), context)
 
+        if self.attn_impl == "pallas":
+            s3, b3 = _LNParams(c, name="norm3")()
+            w1, bb1, w2, bb2 = _GEGLUParams(c, name="ff")()
+            return ln_geglu_ff(x.astype(self.dtype), s3, b3, w1, bb1, w2, bb2,
+                               impl="pallas")
         h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm3")(x)
         return x + GEGLUFeedForward(dtype=self.dtype, name="ff")(h.astype(self.dtype))
 

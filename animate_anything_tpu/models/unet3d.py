@@ -185,6 +185,7 @@ class UNet3DConditionModel(nn.Module):
                     norm_eps=cfg.norm_eps,
                     groups=cfg.norm_num_groups,
                     add_downsample=not is_final,
+                    attn_impl=cfg.attn_impl,
                     deterministic=deterministic,
                     dtype=self.dtype,
                     name=f"down_blocks_{i}",
@@ -242,6 +243,7 @@ class UNet3DConditionModel(nn.Module):
                     groups=cfg.norm_num_groups,
                     add_upsample=not is_final,
                     output_size=output_size,
+                    attn_impl=cfg.attn_impl,
                     deterministic=deterministic,
                     dtype=self.dtype,
                     name=f"up_blocks_{i}",

@@ -56,7 +56,8 @@ class CrossAttnDownBlock3D(nn.Module):
             )(x, temb)
             if self.num_frames > 1:
                 x = TemporalConvLayer(
-                    self.out_channels, dtype=self.dtype, name=f"temp_convs_{i}",
+                    self.out_channels, impl=self.attn_impl, dtype=self.dtype,
+                    name=f"temp_convs_{i}",
                 )(x, self.num_frames, deterministic)
             x = SpatialTransformer(
                 heads, self.head_dim, self.cross_attention_dim,
@@ -81,6 +82,7 @@ class DownBlock3D(nn.Module):
     norm_eps: float = 1e-5
     groups: int = 32
     add_downsample: bool = True
+    attn_impl: Optional[str] = None
     deterministic: bool = True
     dtype: jnp.dtype = jnp.float32
 
@@ -95,7 +97,8 @@ class DownBlock3D(nn.Module):
             )(x, temb)
             if self.num_frames > 1:
                 x = TemporalConvLayer(
-                    self.out_channels, dtype=self.dtype, name=f"temp_convs_{i}",
+                    self.out_channels, impl=self.attn_impl, dtype=self.dtype,
+                    name=f"temp_convs_{i}",
                 )(x, self.num_frames, deterministic)
             outputs.append(x)
         if self.add_downsample:
@@ -125,9 +128,10 @@ class UNetMidBlock3DCrossAttn(nn.Module):
             dtype=self.dtype, name="resnets_0",
         )(x, temb)
         if self.num_frames > 1:
-            x = TemporalConvLayer(self.in_channels, dtype=self.dtype, name="temp_convs_0")(
-                x, self.num_frames, deterministic
-            )
+            x = TemporalConvLayer(
+                self.in_channels, impl=self.attn_impl, dtype=self.dtype,
+                name="temp_convs_0",
+            )(x, self.num_frames, deterministic)
         for i in range(self.num_layers):
             x = SpatialTransformer(
                 heads, self.head_dim, self.cross_attention_dim,
@@ -145,7 +149,8 @@ class UNetMidBlock3DCrossAttn(nn.Module):
             )(x, temb)
             if self.num_frames > 1:
                 x = TemporalConvLayer(
-                    self.in_channels, dtype=self.dtype, name=f"temp_convs_{i + 1}",
+                    self.in_channels, impl=self.attn_impl, dtype=self.dtype,
+                    name=f"temp_convs_{i + 1}",
                 )(x, self.num_frames, deterministic)
         return x
 
@@ -176,7 +181,8 @@ class CrossAttnUpBlock3D(nn.Module):
             )(x, temb)
             if self.num_frames > 1:
                 x = TemporalConvLayer(
-                    self.out_channels, dtype=self.dtype, name=f"temp_convs_{i}",
+                    self.out_channels, impl=self.attn_impl, dtype=self.dtype,
+                    name=f"temp_convs_{i}",
                 )(x, self.num_frames, deterministic)
             x = SpatialTransformer(
                 heads, self.head_dim, self.cross_attention_dim,
@@ -200,6 +206,7 @@ class UpBlock3D(nn.Module):
     groups: int = 32
     add_upsample: bool = True
     output_size: Optional[tuple] = None
+    attn_impl: Optional[str] = None
     deterministic: bool = True
     dtype: jnp.dtype = jnp.float32
 
@@ -214,7 +221,8 @@ class UpBlock3D(nn.Module):
             )(x, temb)
             if self.num_frames > 1:
                 x = TemporalConvLayer(
-                    self.out_channels, dtype=self.dtype, name=f"temp_convs_{i}",
+                    self.out_channels, impl=self.attn_impl, dtype=self.dtype,
+                    name=f"temp_convs_{i}",
                 )(x, self.num_frames, deterministic)
         if self.add_upsample:
             x = Upsample2D(self.out_channels, dtype=self.dtype, name="upsamplers_0")(x, self.output_size)

@@ -36,7 +36,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 MIN_PALLAS_SEQ = 128    # below this, XLA's batched attention wins
-_BLOCK_Q = 512
+_BLOCK_Q = 256   # measured best on v5e across s=256..4096 (512 ties, 128 worse)
 _LANE = 128
 
 
@@ -48,25 +48,33 @@ def _round_up(a: int, b: int) -> int:
     return _cdiv(a, b) * b
 
 
-def _attn_kernel(valid_k_ref, q_ref, k_ref, v_ref, o_ref, *, scale: float):
+def _attn_kernel(valid_k_ref, q_ref, k_ref, v_ref, o_ref, *, scale: float,
+                 masked: bool):
     """One q-tile vs all of K/V for one (batch·head) row.
 
     q_ref: (1, BQ, D); k_ref/v_ref: (1, Sk_pad, D); o_ref: (1, BQ, D).
     valid_k_ref: SMEM scalar — number of real K rows (rest is padding).
+
+    VPU economy: the softmax scale is folded into the (BQ, D) q tile rather
+    than the (BQ, Sk) scores (Sk/D× fewer multiplies), and the padding mask
+    (iota + compare + select over the full score matrix) is emitted only when
+    K actually was padded (masked=False for lane-aligned self-attention) —
+    at S=4096 those two passes cost more than the score matmul itself.
     """
     # keep matmul INPUTS in the storage dtype (bf16 → fast MXU mode) and
     # accumulate fp32 via preferred_element_type; only softmax runs fp32
-    q = q_ref[0]                               # (BQ, D)
+    q = (q_ref[0].astype(jnp.float32) * scale).astype(q_ref.dtype)  # (BQ, D)
     k = k_ref[0]                               # (Sk, D)
     v = v_ref[0]
 
     scores = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale                                  # (BQ, Sk) fp32
+    )                                          # (BQ, Sk) fp32
 
-    valid_k = valid_k_ref[0]
-    col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
-    scores = jnp.where(col < valid_k, scores, -1e30)
+    if masked:
+        valid_k = valid_k_ref[0]
+        col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+        scores = jnp.where(col < valid_k, scores, -1e30)
 
     m = jnp.max(scores, axis=-1, keepdims=True)
     p = jnp.exp(scores - m)
@@ -99,7 +107,7 @@ def _flash_forward(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarra
     valid_k = jnp.asarray([sk], jnp.int32)
 
     out = pl.pallas_call(
-        functools.partial(_attn_kernel, scale=scale),
+        functools.partial(_attn_kernel, scale=scale, masked=sk_pad != sk),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,

@@ -1,0 +1,164 @@
+"""Fused LayerNorm→GEGLU feed-forward Pallas kernel.
+
+Every transformer block in the UNets ends with ``x + FF(LN(x))`` where FF is
+diffusers' GEGLU feed-forward (mult=4): proj to 8c, split, h·gelu(gate), proj
+back (reference blocks built from diffusers FeedForward, engaged at
+/root/reference/models/unet_3d_blocks.py:286-307). In composite XLA form the
+(rows, 8c) projection round-trips HBM between the two matmuls — at the 512px
+level that intermediate is ~4× the activation itself.
+
+This kernel tiles rows and keeps the whole chain in VMEM: LN (fp32 stats) →
+(R, c)×(c, 8c) MXU matmul → split+gelu(tanh-free, exact erf) → (R, 4c)×(4c, c)
+matmul → +bias +residual → one write. HBM traffic per call: read x, read
+weights once (DMA-elided across grid steps), write out.
+
+Gated to c ≤ 640: at c=1280 the W1 block alone is 26MB (> VMEM).
+Backward: custom_vjp against the XLA twin (flash-style remat — the (R, 8c)
+intermediate is never stored).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _rup(a: int, b: int) -> int:
+    return -(-a // b) * b
+
+
+def _pick_rows(c: int) -> int:
+    # fp32-equivalent live set ≈ R·c·(x 1 + h 8 + act 2 + y 1)·4B ≈ 48·R·c
+    r = (4 * 2**20) // (48 * _rup(c, 128))
+    return max(8, min(512, (r // 8) * 8))
+
+
+def _erf(x):
+    """Abramowitz–Stegun 7.1.26 polynomial erf (max err 1.5e-7 ≪ bf16 ulp) —
+    Mosaic has no erf primitive, but exp lowers fine."""
+    sign = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * ax)
+    poly = t * (0.254829592 + t * (-0.284496736 + t * (1.421413741
+                + t * (-1.453152027 + t * 1.061405429))))
+    return sign * (1.0 - poly * jnp.exp(-ax * ax))
+
+
+def _kernel(x_ref, s_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, *,
+            eps: float):
+    x = x_ref[...].astype(jnp.float32)                     # (R, c)
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mu), axis=-1, keepdims=True)
+    ln = ((x - mu) * jax.lax.rsqrt(var + eps) * s_ref[0] + b_ref[0]).astype(x_ref.dtype)
+
+    h = jax.lax.dot_general(
+        ln, w1_ref[...], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ) + b1_ref[0]                                          # (R, 8c) fp32
+    inner = h.shape[-1] // 2
+    val, gate = h[:, :inner], h[:, inner:]
+    act = (val * 0.5 * gate * (1.0 + _erf(gate * (2.0 ** -0.5)))).astype(x_ref.dtype)
+
+    y = jax.lax.dot_general(
+        act, w2_ref[...], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ) + b2_ref[0] + x
+    o_ref[...] = y.astype(o_ref.dtype)
+
+
+def _pallas_ln_geglu(x2, s, b, w1, b1, w2, b2, eps, rows):
+    n, c = x2.shape
+    n_pad = _rup(n, rows)
+    if n_pad != n:
+        x2 = jnp.pad(x2, ((0, n_pad - n), (0, 0)))
+    i2 = w1.shape[-1]
+    inner = w2.shape[0]
+    out = pl.pallas_call(
+        functools.partial(_kernel, eps=eps),
+        grid=(n_pad // rows,),
+        in_specs=[
+            pl.BlockSpec((rows, c), lambda i: (i, 0)),
+            pl.BlockSpec((1, c), lambda i: (0, 0)),
+            pl.BlockSpec((1, c), lambda i: (0, 0)),
+            pl.BlockSpec((c, i2), lambda i: (0, 0)),
+            pl.BlockSpec((1, i2), lambda i: (0, 0)),
+            pl.BlockSpec((inner, c), lambda i: (0, 0)),
+            pl.BlockSpec((1, c), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((rows, c), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((n_pad, c), x2.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n_pad * c * (i2 + inner),
+            bytes_accessed=2 * n_pad * c * x2.dtype.itemsize,
+            transcendentals=n_pad * inner,
+        ),
+    )(x2, s.reshape(1, c), b.reshape(1, c), w1, b1.reshape(1, i2),
+      w2, b2.reshape(1, c))
+    return out[:n] if n_pad != n else out
+
+
+def _reference(x2, s, b, w1, b1, w2, b2, eps):
+    xf = x2.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
+    ln = ((xf - mu) * jax.lax.rsqrt(var + eps) * s + b).astype(x2.dtype)
+    h = jnp.dot(ln, w1, preferred_element_type=jnp.float32) + b1
+    inner = h.shape[-1] // 2
+    val, gate = h[:, :inner], h[:, inner:]
+    act = (val * jax.nn.gelu(gate, approximate=False)).astype(x2.dtype)
+    y = jnp.dot(act, w2, preferred_element_type=jnp.float32) + b2 + xf
+    return y.astype(x2.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+def _fused_p(x2, s, b, w1, b1, w2, b2, eps, rows):
+    return _pallas_ln_geglu(x2, s, b, w1, b1, w2, b2, eps, rows)
+
+
+def _fwd(x2, s, b, w1, b1, w2, b2, eps, rows):
+    return _pallas_ln_geglu(x2, s, b, w1, b1, w2, b2, eps, rows), (x2, s, b, w1, b1, w2, b2)
+
+
+def _bwd(eps, rows, res, g):
+    _, vjp = jax.vjp(lambda *a: _reference(*a, eps), *res)
+    return vjp(g)
+
+
+_fused_p.defvjp(_fwd, _bwd)
+
+
+def ln_geglu_ff(
+    x: jnp.ndarray,            # (..., c)
+    ln_scale: jnp.ndarray,     # (c,) fp32
+    ln_bias: jnp.ndarray,      # (c,)
+    w1: jnp.ndarray,           # (c, 8c·mult/4) net_0_proj
+    b1: jnp.ndarray,
+    w2: jnp.ndarray,           # (4c·mult/4, c) net_2
+    b2: jnp.ndarray,
+    *,
+    eps: float = 1e-5,
+    impl: str | None = None,
+) -> jnp.ndarray:
+    """x + GEGLU_FF(LayerNorm(x)) — the transformer-block tail, fused."""
+    shape = x.shape
+    c = shape[-1]
+    x2 = x.reshape(-1, c)
+    dt = x.dtype
+    args = (x2, ln_scale.astype(jnp.float32), ln_bias.astype(jnp.float32),
+            w1.astype(dt), b1.astype(jnp.float32), w2.astype(dt),
+            b2.astype(jnp.float32))
+    use_pallas = (
+        impl == "pallas"
+        and jax.devices()[0].platform in ("tpu", "axon")
+        and c <= 640
+    )
+    if use_pallas:
+        out = _fused_p(*args, eps, _pick_rows(c))
+    else:
+        out = _reference(*args, eps)
+    return out.reshape(shape)

@@ -175,3 +175,114 @@ def test_fused_temporal_block_equals_unfused_module():
 
     g = jax.grad(lambda p: (m_p.apply(p, x, f) ** 2).sum())(p_p)
     assert all(np.isfinite(np.asarray(l)).all() for l in jax.tree_util.tree_leaves(g))
+
+
+# ---- fused temporal conv (ops/temporal_conv.py) ----------------------------
+
+def test_gn_silu_tap_conv_reference_matches_composite():
+    """The folded-stats reference path equals FusedGroupNorm+TemporalTapConv."""
+    from animate_anything_tpu.models.layers import TemporalConvLayer
+
+    b, f, res, c = 2, 5, 8, 64
+    x = jax.random.normal(jax.random.PRNGKey(0), (b * f, res, res, c))
+    m_ref = TemporalConvLayer(c)
+    m_fus = TemporalConvLayer(c, impl="pallas")  # CPU → reference math path
+    p = m_ref.init(jax.random.PRNGKey(1), x, f)
+    p2 = m_fus.init(jax.random.PRNGKey(1), x, f)
+    assert jax.tree_util.tree_structure(p) == jax.tree_util.tree_structure(p2)
+    # perturb the zero-init conv4 so the final stage contributes
+    p = jax.tree_util.tree_map(lambda a: a + 0.01 if a.ndim == 4 else a, p)
+    a = m_ref.apply(p, x, f)
+    bb = m_fus.apply(p, x, f)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(bb), atol=1e-4)
+
+
+def test_gn_silu_tap_conv_pallas_kernel_interpret():
+    from animate_anything_tpu.ops.temporal_conv import (
+        _pallas_stage, _reference_stage)
+
+    b, f, s, cin, cout = 2, 5, 24, 128, 128
+    x = jax.random.normal(jax.random.PRNGKey(0), (b, f, s, cin))
+    a = jax.random.normal(jax.random.PRNGKey(1), (b, cin)) * 0.1 + 1.0
+    bv = jax.random.normal(jax.random.PRNGKey(2), (b, cin)) * 0.1
+    w = jax.random.normal(jax.random.PRNGKey(3), (3, cin, cout)) * 0.05
+    bias = jax.random.normal(jax.random.PRNGKey(4), (cout,)) * 0.1
+    res = jax.random.normal(jax.random.PRNGKey(5), (b, f, s, cout))
+    ref = _reference_stage(x, a, bv, w, bias, res)
+    with pltpu.force_tpu_interpret_mode():
+        got = _pallas_stage(x, a, bv, w, bias, res, ch=8)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
+def test_gn_silu_tap_conv_grad_finite():
+    from animate_anything_tpu.ops.temporal_conv import gn_silu_tap_conv
+
+    b, f, s, c = 1, 4, 16, 64
+    x = jax.random.normal(jax.random.PRNGKey(0), (b, f, s, c))
+    w = jax.random.normal(jax.random.PRNGKey(1), (3, c, c)) * 0.05
+
+    def loss(x, w):
+        y = gn_silu_tap_conv(x, jnp.ones((c,)), jnp.zeros((c,)), w,
+                             jnp.zeros((c,)), groups=8)
+        return (y ** 2).sum()
+
+    gx, gw = jax.grad(loss, argnums=(0, 1))(x, w)
+    assert np.isfinite(np.asarray(gx)).all() and float(jnp.abs(gx).sum()) > 0
+    assert np.isfinite(np.asarray(gw)).all() and float(jnp.abs(gw).sum()) > 0
+
+
+# ---- fused LN+GEGLU feed-forward (ops/geglu.py) -----------------------------
+
+def test_ln_geglu_reference_matches_composite():
+    import flax.linen as nn
+
+    from animate_anything_tpu.models.attention import GEGLUFeedForward
+    from animate_anything_tpu.ops.geglu import ln_geglu_ff
+
+    c = 64
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 24, c))
+    ff = GEGLUFeedForward()
+    ln = nn.LayerNorm(epsilon=1e-5)
+    pl_ = ln.init(jax.random.PRNGKey(1), x)
+    pf = ff.init(jax.random.PRNGKey(2), x)
+    want = x + ff.apply(pf, ln.apply(pl_, x))
+    got = ln_geglu_ff(
+        x, pl_["params"]["scale"], pl_["params"]["bias"],
+        pf["params"]["net_0_proj"]["kernel"], pf["params"]["net_0_proj"]["bias"],
+        pf["params"]["net_2"]["kernel"], pf["params"]["net_2"]["bias"])
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_ln_geglu_pallas_kernel_interpret():
+    from animate_anything_tpu.ops.geglu import _pallas_ln_geglu, _reference
+
+    c = 128
+    x = jax.random.normal(jax.random.PRNGKey(0), (40, c))
+    s = jnp.ones((c,)) + 0.1
+    b = jnp.zeros((c,)) + 0.05
+    w1 = jax.random.normal(jax.random.PRNGKey(1), (c, 8 * c)) * 0.05
+    b1 = jax.random.normal(jax.random.PRNGKey(2), (1, 8 * c)) * 0.1
+    w2 = jax.random.normal(jax.random.PRNGKey(3), (4 * c, c)) * 0.05
+    b2 = jax.random.normal(jax.random.PRNGKey(4), (1, c)) * 0.1
+    ref = _reference(x, s, b, w1, b1, w2, b2, 1e-5)
+    with pltpu.force_tpu_interpret_mode():
+        got = _pallas_ln_geglu(x, s, b, w1, b1, w2, b2, 1e-5, rows=16)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=3e-5)
+
+
+def test_ln_geglu_grad_finite():
+    from animate_anything_tpu.ops.geglu import ln_geglu_ff
+
+    c = 32
+    x = jax.random.normal(jax.random.PRNGKey(0), (3, 8, c))
+    w1 = jax.random.normal(jax.random.PRNGKey(1), (c, 8 * c)) * 0.05
+    w2 = jax.random.normal(jax.random.PRNGKey(2), (4 * c, c)) * 0.05
+
+    def loss(x, w1, w2):
+        y = ln_geglu_ff(x, jnp.ones((c,)), jnp.zeros((c,)), w1, jnp.zeros((8 * c,)),
+                        w2, jnp.zeros((c,)))
+        return (y ** 2).sum()
+
+    grads = jax.grad(loss, argnums=(0, 1, 2))(x, w1, w2)
+    for g in grads:
+        assert np.isfinite(np.asarray(g)).all() and float(jnp.abs(g).sum()) > 0
