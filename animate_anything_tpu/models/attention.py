@@ -20,7 +20,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from animate_anything_tpu.models.layers import FusedGroupNorm
+from animate_anything_tpu.models.layers import Conv1x1, FusedGroupNorm
 from animate_anything_tpu.ops.attention import attention
 
 
@@ -147,7 +147,7 @@ class SpatialTransformer(nn.Module):
             h = h.reshape(bf, hh * ww, c)
             h = nn.Dense(inner, dtype=self.dtype, name="proj_in")(h)
         else:
-            h = nn.Conv(inner, (1, 1), dtype=self.dtype, name="proj_in")(h)
+            h = Conv1x1(inner, dtype=self.dtype, name="proj_in")(h)
             h = h.reshape(bf, hh * ww, inner)
 
         for i in range(self.num_layers):
@@ -165,7 +165,7 @@ class SpatialTransformer(nn.Module):
             h = h.reshape(bf, hh, ww, c)
         else:
             h = h.reshape(bf, hh, ww, inner)
-            h = nn.Conv(c, (1, 1), dtype=self.dtype, name="proj_out")(h)
+            h = Conv1x1(c, dtype=self.dtype, name="proj_out")(h)
         return h + residual
 
 

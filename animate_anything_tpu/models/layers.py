@@ -92,6 +92,31 @@ class TimestepEmbedding(nn.Module):
         return sample
 
 
+class Conv1x1(nn.Module):
+    """1×1 conv computed as a dense matmul on the channel axis.
+
+    Param tree identical to nn.Conv(features, (1, 1)) ({kernel (1,1,in,out),
+    bias}), but XLA's conv lowering at kernel size 1 measured ~0.6 ms slower
+    than the equivalent einsum at the 64×64/c320 site on v5e — the conv path
+    pays windowing setup a matmul doesn't."""
+
+    features: int
+    use_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        cin = x.shape[-1]
+        w = self.param("kernel", nn.initializers.lecun_normal(),
+                       (1, 1, cin, self.features), jnp.float32)
+        y = jnp.einsum("...c,cd->...d", x, w[0, 0].astype(self.dtype),
+                       preferred_element_type=jnp.float32)
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+            y = y + b
+        return y.astype(self.dtype)
+
+
 class ResnetBlock2D(nn.Module):
     """GN→SiLU→conv3x3 ×2 with time-embedding bias and 1x1 shortcut.
 
@@ -117,7 +142,7 @@ class ResnetBlock2D(nn.Module):
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv2")(h)
 
         if in_channels != self.out_channels:
-            x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype, name="conv_shortcut")(x)
+            x = Conv1x1(self.out_channels, dtype=self.dtype, name="conv_shortcut")(x)
         return x + h
 
 

@@ -23,6 +23,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from animate_anything_tpu.models.layers import Conv1x1
 from animate_anything_tpu.ops.attention import attention
 
 
@@ -58,7 +59,7 @@ class VAEResnetBlock(nn.Module):
         h = nn.silu(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv2")(h)
         if in_ch != self.out_channels:
-            x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype, name="conv_shortcut")(x)
+            x = Conv1x1(self.out_channels, dtype=self.dtype, name="conv_shortcut")(x)
         return x + h
 
 
@@ -145,8 +146,8 @@ class AutoencoderKL(nn.Module):
     def setup(self):
         self.encoder = Encoder(self.config, dtype=self.dtype)
         self.decoder = Decoder(self.config, dtype=self.dtype)
-        self.quant_conv = nn.Conv(2 * self.config.latent_channels, (1, 1), dtype=self.dtype)
-        self.post_quant_conv = nn.Conv(self.config.latent_channels, (1, 1), dtype=self.dtype)
+        self.quant_conv = Conv1x1(2 * self.config.latent_channels, dtype=self.dtype)
+        self.post_quant_conv = Conv1x1(self.config.latent_channels, dtype=self.dtype)
 
     def __call__(self, x, rng=None):
         mean, logvar = self.encode_moments(x)

@@ -114,7 +114,7 @@ def _pick_nblk(c: int, npk: int) -> int:
 
 def _kernel(x_ref, lns_ref, lnb_ref, wq_ref, wk_ref, wv_ref, wo_ref, bo_ref,
             o_ref, obuf, *, p: int, R: int, Rp: int, nblk: int, heads: int,
-            d: int, eps: float):
+            d: int, eps: float, fuse_residual: bool):
     x = x_ref[0]                                        # (nblk·Rp, c) bf16
     xf = x.astype(jnp.float32)
     mu = jnp.mean(xf, axis=-1, keepdims=True)
@@ -126,7 +126,7 @@ def _kernel(x_ref, lns_ref, lnb_ref, wq_ref, wk_ref, wv_ref, wo_ref, bo_ref,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    q = dot(ln, wq_ref[...]).astype(x.dtype)
+    q = dot(ln, wq_ref[...]).astype(x.dtype)            # (rows, heads·d)
     k = dot(ln, wk_ref[...]).astype(x.dtype)
     v = dot(ln, wv_ref[...]).astype(x.dtype)
 
@@ -148,7 +148,9 @@ def _kernel(x_ref, lns_ref, lnb_ref, wq_ref, wk_ref, wv_ref, wo_ref, bo_ref,
             o = o / jnp.sum(e, axis=-1, keepdims=True)
             obuf[i * Rp:(i + 1) * Rp, hi * d:(hi + 1) * d] = o.astype(obuf.dtype)
 
-    out = dot(obuf[...], wo_ref[...]) + bo_ref[0] + xf
+    out = dot(obuf[...], wo_ref[...])
+    if fuse_residual:
+        out = out + bo_ref[0] + xf
     o_ref[0] = out.astype(o_ref.dtype)
 
 
@@ -181,39 +183,79 @@ def _reference(xp, lns, lnb, wq, wk, wv, wo, bo, *, geom: PackGeometry,
 
 
 @functools.lru_cache(maxsize=64)
-def _build(geom: PackGeometry, heads: int, d: int, c: int, eps: float):
+def _build(geom: PackGeometry, heads: int, d: int, c: int, eps: float,
+           fuse_residual: bool = True):
+    """heads·d may be < c (a head GROUP): the kernel then emits only this
+    group's partial out-projection (no bias/residual) for XLA summation."""
     g = geom
-    nblk = _pick_nblk(c, g.npk)
+    inner = heads * d
+    nblk = _pick_nblk(max(c, inner), g.npk)
     npk_pad = _rup(g.npk, nblk)
     t_in = g.npk * g.Rp
     t_pad = npk_pad * g.Rp
 
     blk = lambda bi, ni: (bi, ni, 0)
-    wspec = pl.BlockSpec((c, c), lambda bi, ni: (0, 0))
     vspec = pl.BlockSpec((1, c), lambda bi, ni: (0, 0))
+    wqspec = pl.BlockSpec((c, inner), lambda bi, ni: (0, 0))
+    wospec = pl.BlockSpec((inner, c), lambda bi, ni: (0, 0))
 
     def forward(xp, lns, lnb, wq, wk, wv, wo, bo):
         b = xp.shape[0]
         x = xp if t_pad == t_in else jnp.pad(xp, ((0, 0), (0, t_pad - t_in), (0, 0)))
         out = pl.pallas_call(
             functools.partial(_kernel, p=g.p, R=g.R, Rp=g.Rp, nblk=nblk,
-                              heads=heads, d=d, eps=eps),
+                              heads=heads, d=d, eps=eps,
+                              fuse_residual=fuse_residual),
             grid=(b, npk_pad // nblk),
             in_specs=[pl.BlockSpec((1, nblk * g.Rp, c), blk),
-                      vspec, vspec, wspec, wspec, wspec, wspec, vspec],
+                      vspec, vspec, wqspec, wqspec, wqspec, wospec, vspec],
             out_specs=pl.BlockSpec((1, nblk * g.Rp, c), blk),
             out_shape=jax.ShapeDtypeStruct((b, t_pad, c), xp.dtype),
-            scratch_shapes=[pltpu.VMEM((nblk * g.Rp, c), xp.dtype)],
+            scratch_shapes=[pltpu.VMEM((nblk * g.Rp, inner), xp.dtype)],
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("parallel", "arbitrary"),
             ),
             cost_estimate=pl.CostEstimate(
-                flops=2 * b * t_pad * c * (4 * c) + 4 * b * t_pad * g.Rp * c,
+                flops=2 * b * t_pad * (3 * c * inner + inner * c) + 4 * b * t_pad * g.Rp * inner,
                 bytes_accessed=2 * b * t_pad * c * xp.dtype.itemsize,
                 transcendentals=b * t_pad * g.Rp * heads,
             ),
         )(x, lns, lnb, wq, wk, wv, wo, bo)
         return out[:, :t_in] if t_pad != t_in else out
+
+    return forward
+
+
+def _n_head_groups(c: int, heads: int) -> int:
+    """Head groups so the per-group QKV+O weight blocks stay ≲8MB of VMEM.
+    c ≤ 1024 → 1; c = 1280 (20 heads) → 2."""
+    ngroups = 1
+    while 4 * c * (c // ngroups) * 2 > 8 * 2**20:
+        ngroups += 1
+    while heads % ngroups:
+        ngroups += 1
+    return ngroups
+
+
+@functools.lru_cache(maxsize=64)
+def _build_vjp(geom: PackGeometry, heads: int, d: int, c: int, eps: float):
+    g = geom
+    ngroups = _n_head_groups(c, heads)
+    hg = heads // ngroups
+
+    if ngroups == 1:
+        forward = _build(geom, heads, d, c, eps)
+    else:
+        part = _build(geom, hg, d, c, eps, fuse_residual=False)
+
+        def forward(xp, lns, lnb, wq, wk, wv, wo, bo):
+            acc = None
+            for gi in range(ngroups):
+                sl = slice(gi * hg * d, (gi + 1) * hg * d)
+                y = part(xp, lns, lnb, wq[:, sl], wk[:, sl], wv[:, sl],
+                         wo[sl, :], bo).astype(jnp.float32)
+                acc = y if acc is None else acc + y
+            return (acc + bo + xp.astype(jnp.float32)).astype(xp.dtype)
 
     ref = functools.partial(_reference, geom=g, heads=heads, d=d, eps=eps)
 
@@ -263,16 +305,16 @@ def fused_temporal_attn_block(
     )
     if impl != "pallas" or jax.devices()[0].platform not in ("tpu", "axon"):
         return _reference(*args, geom=geom, heads=heads, d=head_dim, eps=eps)
-    return _build(geom, heads, head_dim, c, eps)(*args)
+    return _build_vjp(geom, heads, head_dim, c, eps)(*args)
 
 
 def fused_ok(f: int, c: int, heads: int, head_dim: int) -> bool:
-    """Geometry gate for the fused path. c ≤ 1024: at c=1280 the four (c, c)
-    weight blocks alone are 13.1MB — over the 16MB scoped-VMEM budget with
-    any tile (and those 16²/8² sites cost ~1ms in einsum form anyway)."""
-    return (
-        2 <= f <= _LANE
-        and heads * head_dim == c
-        and head_dim % 8 == 0
-        and c <= 1024
-    )
+    """Geometry gate for the fused path. Above c=1024 the four (c, c) weight
+    blocks exceed VMEM in one shot, so the kernel runs per head GROUP with an
+    XLA partial-sum (works when the groups divide heads — see
+    _n_head_groups); past c=2048 even per-head weights are too large."""
+    if not (2 <= f <= _LANE and heads * head_dim == c and head_dim % 8 == 0):
+        return False
+    if c <= 1024:
+        return True
+    return c <= 2048 and heads % _n_head_groups(c, heads) == 0

@@ -286,3 +286,31 @@ def test_ln_geglu_grad_finite():
     grads = jax.grad(loss, argnums=(0, 1, 2))(x, w1, w2)
     for g in grads:
         assert np.isfinite(np.asarray(g)).all() and float(jnp.abs(g).sum()) > 0
+
+
+def test_fused_temporal_block_head_grouped_matches_reference():
+    """c=1280-style site: per-head-group kernels + XLA partial sum ==
+    single reference (interpret mode)."""
+    from animate_anything_tpu.ops import temporal_block as tb
+
+    f, s, c, heads, d = 5, 12, 256, 4, 64
+    geom = tb.pack_geometry(f, s)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, f, s, c))
+    xp = tb.pack_frames(x, geom)
+    lns = jnp.ones((1, c)); lnb = jnp.zeros((1, c))
+    ws = [jax.random.normal(jax.random.PRNGKey(i), (c, c)) * 0.05 for i in range(4)]
+    bo = jnp.zeros((1, c))
+    ref = tb._reference(xp, lns, lnb, *ws, bo, geom=geom, heads=heads, d=d)
+    hg = heads // 2
+    with pltpu.force_tpu_interpret_mode():
+        part = tb._build(geom, hg, d, c, 1e-5, fuse_residual=False)
+        acc = None
+        for gi in range(2):
+            sl = slice(gi * hg * d, (gi + 1) * hg * d)
+            y = part(xp, lns, lnb, ws[0][:, sl], ws[1][:, sl], ws[2][:, sl],
+                     ws[3][sl, :], bo).astype(jnp.float32)
+            acc = y if acc is None else acc + y
+    got = (acc + bo + xp.astype(jnp.float32)).astype(xp.dtype)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=5e-5)
+    assert tb._n_head_groups(1280, 20) == 2
+    assert tb.fused_ok(17, 1280, 20, 64)
