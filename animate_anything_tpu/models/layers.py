@@ -117,15 +117,33 @@ class Conv1x1(nn.Module):
         return y.astype(self.dtype)
 
 
+class _Conv3x3Params(nn.Module):
+    """Param-only twin of nn.Conv(features, (3,3)) ({kernel, bias}, fp32)."""
+
+    in_dim: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        w = self.param("kernel", nn.initializers.lecun_normal(),
+                       (3, 3, self.in_dim, self.features), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        return w, b
+
+
 class ResnetBlock2D(nn.Module):
     """GN→SiLU→conv3x3 ×2 with time-embedding bias and 1x1 shortcut.
 
     Runs on the fused (b·f, h, w, c) spatial batch. Matches diffusers
-    ResnetBlock2D (default time_embedding_norm, pre_norm, scale 1.0)."""
+    ResnetBlock2D (default time_embedding_norm, pre_norm, scale 1.0).
+"""
 
     out_channels: int
     eps: float = 1e-5
     groups: int = 32
+    impl: Optional[str] = None   # accepted for call-site uniformity; the
+    # fused conv3x3 kernel (ops/conv3x3.py) measured SLOWER than XLA's conv
+    # emitter at every UNet geometry, so the composite path is always used
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact

@@ -52,7 +52,7 @@ class CrossAttnDownBlock3D(nn.Module):
         for i in range(self.num_layers):
             x = ResnetBlock2D(
                 self.out_channels, eps=self.norm_eps, groups=self.groups,
-                dtype=self.dtype, name=f"resnets_{i}",
+                impl=self.attn_impl, dtype=self.dtype, name=f"resnets_{i}",
             )(x, temb)
             if self.num_frames > 1:
                 x = TemporalConvLayer(
@@ -93,7 +93,7 @@ class DownBlock3D(nn.Module):
         for i in range(self.num_layers):
             x = ResnetBlock2D(
                 self.out_channels, eps=self.norm_eps, groups=self.groups,
-                dtype=self.dtype, name=f"resnets_{i}",
+                impl=self.attn_impl, dtype=self.dtype, name=f"resnets_{i}",
             )(x, temb)
             if self.num_frames > 1:
                 x = TemporalConvLayer(
@@ -125,7 +125,7 @@ class UNetMidBlock3DCrossAttn(nn.Module):
         heads = self.in_channels // self.head_dim
         x = ResnetBlock2D(
             self.in_channels, eps=self.norm_eps, groups=self.groups,
-            dtype=self.dtype, name="resnets_0",
+            impl=self.attn_impl, dtype=self.dtype, name="resnets_0",
         )(x, temb)
         if self.num_frames > 1:
             x = TemporalConvLayer(
@@ -145,7 +145,7 @@ class UNetMidBlock3DCrossAttn(nn.Module):
                 )(x, self.num_frames)
             x = ResnetBlock2D(
                 self.in_channels, eps=self.norm_eps, groups=self.groups,
-                dtype=self.dtype, name=f"resnets_{i + 1}",
+                impl=self.attn_impl, dtype=self.dtype, name=f"resnets_{i + 1}",
             )(x, temb)
             if self.num_frames > 1:
                 x = TemporalConvLayer(
@@ -177,7 +177,7 @@ class CrossAttnUpBlock3D(nn.Module):
             x = jnp.concatenate([x, skips.pop()], axis=-1)
             x = ResnetBlock2D(
                 self.out_channels, eps=self.norm_eps, groups=self.groups,
-                dtype=self.dtype, name=f"resnets_{i}",
+                impl=self.attn_impl, dtype=self.dtype, name=f"resnets_{i}",
             )(x, temb)
             if self.num_frames > 1:
                 x = TemporalConvLayer(
@@ -217,7 +217,7 @@ class UpBlock3D(nn.Module):
             x = jnp.concatenate([x, skips.pop()], axis=-1)
             x = ResnetBlock2D(
                 self.out_channels, eps=self.norm_eps, groups=self.groups,
-                dtype=self.dtype, name=f"resnets_{i}",
+                impl=self.attn_impl, dtype=self.dtype, name=f"resnets_{i}",
             )(x, temb)
             if self.num_frames > 1:
                 x = TemporalConvLayer(

@@ -314,3 +314,58 @@ def test_fused_temporal_block_head_grouped_matches_reference():
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=5e-5)
     assert tb._n_head_groups(1280, 20) == 2
     assert tb.fused_ok(17, 1280, 20, 64)
+
+
+# ---- fused GN+SiLU+conv3x3 (ops/conv3x3.py) --------------------------------
+
+def test_gn_silu_conv3x3_folded_stats_match_composite():
+    """The op's folded-stats formulation equals FusedGroupNorm+SiLU+nn.Conv
+    (the op itself is dormant in the model — see ops/conv3x3.py STATUS)."""
+    import flax.linen as nn
+
+    from animate_anything_tpu.models.layers import FusedGroupNorm
+    from animate_anything_tpu.ops.conv3x3 import gn_silu_conv3x3
+
+    n, res, c = 4, 10, 64
+    x = jax.random.normal(jax.random.PRNGKey(0), (n, res, res, c))
+    gnorm = FusedGroupNorm(8, 1e-5, silu=True)
+    conv = nn.Conv(c, (3, 3), padding=1)
+    pg = gnorm.init(jax.random.PRNGKey(1), x)
+    pc = conv.init(jax.random.PRNGKey(2), x)
+    want = conv.apply(pc, gnorm.apply(pg, x))
+    got = gn_silu_conv3x3(
+        x, pg["params"]["scale"], pg["params"]["bias"],
+        pc["params"]["kernel"], pc["params"]["bias"], groups=8)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)
+
+
+def test_gn_silu_conv3x3_pallas_kernel_interpret():
+    from animate_anything_tpu.ops.conv3x3 import _pallas_stage, _reference_stage_exact
+
+    n, H, W, cin, cout = 2, 6, 9, 16, 16
+    x = jax.random.normal(jax.random.PRNGKey(0), (n, H, W, cin))
+    a = jax.random.normal(jax.random.PRNGKey(1), (n, cin)) * 0.1 + 1.0
+    b = jax.random.normal(jax.random.PRNGKey(2), (n, cin)) * 0.1
+    w9 = jax.random.normal(jax.random.PRNGKey(3), (9, cin, cout)) * 0.1
+    bias = jax.random.normal(jax.random.PRNGKey(4), (n, 1, cout)) * 0.1
+    ref = _reference_stage_exact(x, a, b, w9, bias)
+    with pltpu.force_tpu_interpret_mode():
+        got = _pallas_stage(x, a, b, w9, bias)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
+def test_gn_silu_conv3x3_grad_finite():
+    from animate_anything_tpu.ops.conv3x3 import gn_silu_conv3x3
+
+    n, res, c = 2, 6, 16
+    x = jax.random.normal(jax.random.PRNGKey(0), (n, res, res, c))
+    w = jax.random.normal(jax.random.PRNGKey(1), (3, 3, c, c)) * 0.1
+
+    def loss(x, w):
+        y = gn_silu_conv3x3(x, jnp.ones((c,)), jnp.zeros((c,)), w,
+                            jnp.zeros((c,)), groups=4)
+        return (y ** 2).sum()
+
+    gx, gw = jax.grad(loss, argnums=(0, 1))(x, w)
+    assert np.isfinite(np.asarray(gx)).all() and float(jnp.abs(gx).sum()) > 0
+    assert np.isfinite(np.asarray(gw)).all() and float(jnp.abs(gw).sum()) > 0
