@@ -39,16 +39,17 @@ def build_svd_models(
     model_size: str = "full",
     compute_dtype=jnp.float32,
     seed: int = 0,
+    attn_impl: Optional[str] = None,
 ) -> dict:
     """SVD analog of factory.build_models. Random host init when no checkpoint
     (weight import for the SVD family lands with the diffusers-SVD key maps)."""
     in_ch = 9 if motion_mask else 8
     if model_size == "tiny":
-        ucfg = SVDUNetConfig.tiny(in_channels=in_ch)
+        ucfg = SVDUNetConfig.tiny(in_channels=in_ch, attn_impl=attn_impl)
         vcfg = VAEConfig.tiny()
         icfg = CLIPVisionConfig.tiny(projection_dim=ucfg.cross_attention_dim)
     else:
-        ucfg = SVDUNetConfig(in_channels=in_ch)
+        ucfg = SVDUNetConfig(in_channels=in_ch, attn_impl=attn_impl)
         vcfg = VAEConfig()
         icfg = CLIPVisionConfig()
     unet = UNetSpatioTemporalConditionModel(ucfg, dtype=compute_dtype)
@@ -84,7 +85,7 @@ def main(**cfg_kw) -> str:
     models = build_svd_models(
         cfg.get("pretrained_model_path"), motion_mask=motion_mask,
         model_size=cfg.get("model_size", "full"), compute_dtype=policy.compute_dtype,
-        seed=seed,
+        seed=seed, attn_impl=cfg.get("attn_impl"),
     )
     datasets = get_train_dataset(
         list(cfg.get("dataset_types", ["folder"])), dict(cfg.get("train_data", {})), None
@@ -175,6 +176,7 @@ def main_eval(**cfg_kw) -> dict:
     models = build_svd_models(
         cfg.get("pretrained_model_path"), motion_mask=motion_mask,
         model_size=cfg.get("model_size", "full"), compute_dtype=policy.compute_dtype,
+        attn_impl=cfg.get("attn_impl"),
     )
     pipe = MaskStableVideoDiffusionPipeline(
         models["unet"], models["unet_params"], models["vae"], models["vae_params"],
