@@ -103,6 +103,9 @@ def run_validation(models, validation_data: Config, output_dir: str, step: int,
 
 
 def main(**cfg_kw) -> str:
+    from animate_anything_tpu.core import enable_compilation_cache
+
+    enable_compilation_cache()
     cfg = Config(cfg_kw)
     output_dir = cfg.get("output_dir", "./output")
     run_dir = os.path.join(output_dir, time.strftime("%Y-%m-%dT%H-%M-%S"))
@@ -282,6 +285,9 @@ def main(**cfg_kw) -> str:
 
 
 def main_eval(**cfg_kw) -> dict:
+    from animate_anything_tpu.core import enable_compilation_cache
+
+    enable_compilation_cache()
     """Batch eval (reference main_eval/batch_eval, train.py:793-856)."""
     cfg = Config(cfg_kw)
     output_dir = cfg.get("output_dir", "./output")

@@ -50,6 +50,9 @@ def build_transparent_vae(model_size: str = "full", compute_dtype=jnp.float32, s
 
 
 def main_eval(**cfg_kw) -> dict:
+    from animate_anything_tpu.core import enable_compilation_cache
+
+    enable_compilation_cache()
     cfg = Config(cfg_kw)
     out_dir = cfg.get("output_dir", "./output")
     os.makedirs(out_dir, exist_ok=True)

@@ -72,6 +72,9 @@ def build_svd_models(
 
 
 def main(**cfg_kw) -> str:
+    from animate_anything_tpu.core import enable_compilation_cache
+
+    enable_compilation_cache()
     cfg = Config(cfg_kw)
     run_dir = os.path.join(cfg.get("output_dir", "./output"), time.strftime("svd_%Y-%m-%dT%H-%M-%S"))
     os.makedirs(run_dir, exist_ok=True)
@@ -168,6 +171,9 @@ def _save_svd_pipeline(out_dir: str, unet_params, unet_config) -> str:
 
 
 def main_eval(**cfg_kw) -> dict:
+    from animate_anything_tpu.core import enable_compilation_cache
+
+    enable_compilation_cache()
     cfg = Config(cfg_kw)
     out_dir = cfg.get("output_dir", "./output")
     os.makedirs(out_dir, exist_ok=True)

@@ -1,3 +1,4 @@
+from animate_anything_tpu.core.compile_cache import enable_compilation_cache
 from animate_anything_tpu.core.config import Config, load_config, merge_dotlist
 from animate_anything_tpu.core.mesh import (
     AXIS_DATA,
@@ -10,6 +11,7 @@ from animate_anything_tpu.core.mesh import (
 from animate_anything_tpu.core.dtypes import Policy, cast_floating, half_policy, full_policy
 
 __all__ = [
+    "enable_compilation_cache",
     "Config",
     "load_config",
     "merge_dotlist",

@@ -174,17 +174,24 @@ def _pallas_group_norm(x2, scale, bias, groups, eps, silu, ch):
 
 
 def _xla_group_norm(x2, scale, bias, groups, eps, silu):
+    """Composite GN: stats in fp32, application as ONE fused multiply-add in
+    the storage dtype. Folding mean/var/scale/bias into per-(batch, channel)
+    a·x+b avoids materializing the full tensor in fp32 — the naive
+    (x−mean)·rsqrt·scale+bias form cost several full-tensor fp32 copies and
+    layout conversions per site in the 512px UNet step (profiled on v5e)."""
     n, s, c = x2.shape
     xg = x2.reshape(n, s, groups, c // groups)
-    mean = jnp.mean(xg, axis=(1, 3), keepdims=True, dtype=jnp.float32)
-    var = jnp.mean(
-        jnp.square(xg.astype(jnp.float32)), axis=(1, 3), keepdims=True
-    ) - mean * mean
-    y = (xg.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + eps)
-    y = y.reshape(n, s, c) * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+    mean = jnp.mean(xg, axis=(1, 3), dtype=jnp.float32)                  # (n, g)
+    var = jnp.mean(jnp.square(xg.astype(jnp.float32)), axis=(1, 3)) - mean * mean
+    inv = jax.lax.rsqrt(jnp.maximum(var, 0.0) + eps)
+    inv_c = jnp.repeat(inv, c // groups, axis=1)                         # (n, c)
+    mean_c = jnp.repeat(mean, c // groups, axis=1)
+    a = inv_c * scale.astype(jnp.float32)[None, :]
+    b = bias.astype(jnp.float32)[None, :] - mean_c * a
+    y = x2 * a[:, None, :].astype(x2.dtype) + b[:, None, :].astype(x2.dtype)
     if silu:
         y = y * jax.nn.sigmoid(y)
-    return y.astype(x2.dtype)
+    return y
 
 
 def group_norm_silu(

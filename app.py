@@ -110,6 +110,9 @@ def ui(controller):  # pragma: no cover - requires gradio
 
 
 def main():
+    from animate_anything_tpu.core import enable_compilation_cache
+
+    enable_compilation_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", type=str, default=None)
     ap.add_argument("--image", type=str, default=None)

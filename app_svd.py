@@ -77,6 +77,9 @@ class AnimateController:
 
 
 def main():
+    from animate_anything_tpu.core import enable_compilation_cache
+
+    enable_compilation_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", type=str, default=None)
     ap.add_argument("--image", type=str, default=None)

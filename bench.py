@@ -29,6 +29,9 @@ import numpy as np
 
 
 def main():
+    from animate_anything_tpu.core import enable_compilation_cache
+
+    enable_compilation_cache()
     frames = int(os.environ.get("BENCH_FRAMES", 16))
     steps = int(os.environ.get("BENCH_STEPS", 25))
     res = int(os.environ.get("BENCH_RES", 512))

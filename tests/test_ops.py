@@ -28,6 +28,31 @@ def test_flash_attention_small_seq_routes_to_xla():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
 
 
+def test_flash_attention_short_kv_routes_to_xla():
+    # 77-token cross-attention: XLA's batched attention measured faster than
+    # the pallas kernel on v5e — the dispatcher must not enter pallas here.
+    q = jax.random.normal(jax.random.PRNGKey(0), (2, 256, 2, 64))
+    kv = jax.random.normal(jax.random.PRNGKey(1), (2, 77, 2, 64))
+    out = flash_attention(q, kv, kv)  # no interpret ctx: must not hit Mosaic
+    ref = jax.nn.dot_product_attention(q, kv, kv)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_flash_attention_packed_heads_interpret_matches_xla():
+    # dormant packed-heads kernel (natural (b,s,h·d) layout, streamed K):
+    # numerics stay verified even though dispatch doesn't engage it.
+    from animate_anything_tpu.ops.flash_attention import _flash_forward_packed
+
+    for (b, sq, sk, h) in [(2, 256, 256, 5), (1, 300, 77, 2)]:
+        q = jax.random.normal(jax.random.PRNGKey(0), (b, sq, h, 64))
+        k = jax.random.normal(jax.random.PRNGKey(1), (b, sk, h, 64))
+        v = jax.random.normal(jax.random.PRNGKey(2), (b, sk, h, 64))
+        ref = jax.nn.dot_product_attention(q, k, v)
+        with pltpu.force_tpu_interpret_mode():
+            out = _flash_forward_packed(q, k, v)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
 def test_flash_attention_grad():
     q = jax.random.normal(jax.random.PRNGKey(0), (1, 128, 1, 64))
 
