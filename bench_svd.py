@@ -58,7 +58,7 @@ def main():
     )
 
     pipe = MaskStableVideoDiffusionPipeline(unet, uparams, vae, vparams)
-    denoise = pipe._denoise_jit()
+    denoise = pipe._denoise_jit  # cached_property → the jitted fn
 
     cond2 = jnp.zeros((2 * b, frames, hw, hw, 4), jnp.bfloat16)
     embeds2 = jnp.zeros((2 * b, 1, cfg.cross_attention_dim), jnp.bfloat16)
@@ -68,11 +68,13 @@ def main():
     latents = jnp.zeros((b, frames, hw, hw, 4), jnp.bfloat16)
     chunk = min(7, frames)
 
+    decode = jax.jit(lambda lat: decode_video(vae, vparams, lat, chunk_size=chunk))
+
     def run(seed):
         lat = denoise(uparams, latents, cond2, None, embeds2, added2,
                       guidance.astype(jnp.float32), jax.random.PRNGKey(seed),
                       num_steps=steps)
-        return decode_video(vae, vparams, lat, chunk_size=chunk)
+        return decode(lat)
 
     print("compiling denoise loop + decoder...", file=sys.stderr)
     vid = run(0)
