@@ -314,13 +314,22 @@ class UNetSpatioTemporalConditionModel(nn.Module):
         heads = cfg.num_attention_heads
         head_dims = [c // h for c, h in zip(cfg.block_out_channels, heads)]
 
+        # per-sub-layer gradient checkpointing (reference: torch
+        # checkpointing inside UNetSpatioTemporalConditionModel via
+        # unet.enable_gradient_checkpointing(), train_svd.py) — frame count
+        # and geometry are module attributes, so the remat'd calls take only
+        # array arguments
+        Res = (nn.remat(SpatioTemporalResBlock)
+               if cfg.gradient_checkpointing else SpatioTemporalResBlock)
+        Attn = (nn.remat(TransformerSpatioTemporalModel)
+                if cfg.gradient_checkpointing else TransformerSpatioTemporalModel)
+
         def res_block(out_ch, name):
-            return SpatioTemporalResBlock(out_ch, f, eps=cfg.norm_eps,
-                                          impl=cfg.attn_impl,
-                                          dtype=self.dtype, name=name)
+            return Res(out_ch, f, eps=cfg.norm_eps, impl=cfg.attn_impl,
+                       dtype=self.dtype, name=name)
 
         def attn_block(idx, name):
-            return TransformerSpatioTemporalModel(
+            return Attn(
                 heads[idx], head_dims[idx], cfg.cross_attention_dim, f,
                 attn_impl=cfg.attn_impl, dtype=self.dtype, name=name,
             )

@@ -153,9 +153,10 @@ class UNet3DConditionModel(nn.Module):
                 dtype=self.dtype, name="transformer_in",
             )(x, nf)
 
-        def maybe_remat(cls):
-            return nn.remat(cls) if cfg.gradient_checkpointing else cls
-
+        # checkpointing is applied per sub-layer INSIDE the blocks via
+        # remat= (the reference's granularity, unet_3d_blocks.py:32-120):
+        # block-level remat keeps a whole block's backward transients live
+        # at once and was the HBM peak of 512px training.
         # 4. down
         skips = [x]
         down_out = ch0
@@ -163,8 +164,9 @@ class UNet3DConditionModel(nn.Module):
             down_out = cfg.block_out_channels[i]
             is_final = i == len(cfg.block_out_channels) - 1
             if block_type == "CrossAttnDownBlock3D":
-                x, outs = maybe_remat(CrossAttnDownBlock3D)(
+                x, outs = CrossAttnDownBlock3D(
                     out_channels=down_out,
+                    remat=cfg.gradient_checkpointing,
                     num_frames=nf,
                     num_layers=cfg.layers_per_block,
                     head_dim=cfg.attention_head_dim,
@@ -178,8 +180,9 @@ class UNet3DConditionModel(nn.Module):
                     name=f"down_blocks_{i}",
                 )(x, emb, context)
             elif block_type == "DownBlock3D":
-                x, outs = maybe_remat(DownBlock3D)(
+                x, outs = DownBlock3D(
                     out_channels=down_out,
+                    remat=cfg.gradient_checkpointing,
                     num_frames=nf,
                     num_layers=cfg.layers_per_block,
                     norm_eps=cfg.norm_eps,
@@ -195,8 +198,9 @@ class UNet3DConditionModel(nn.Module):
             skips.extend(outs)
 
         # 5. mid
-        x = maybe_remat(UNetMidBlock3DCrossAttn)(
+        x = UNetMidBlock3DCrossAttn(
             in_channels=cfg.block_out_channels[-1],
+            remat=cfg.gradient_checkpointing,
             num_frames=nf,
             head_dim=cfg.attention_head_dim,
             cross_attention_dim=cfg.cross_attention_dim,
@@ -219,8 +223,9 @@ class UNet3DConditionModel(nn.Module):
             del skips[-n_layers:]
             output_size = skips[-1].shape[1:3] if skips else None
             if block_type == "CrossAttnUpBlock3D":
-                x = maybe_remat(CrossAttnUpBlock3D)(
+                x = CrossAttnUpBlock3D(
                     out_channels=rev_channels[i],
+                    remat=cfg.gradient_checkpointing,
                     num_frames=nf,
                     num_layers=n_layers,
                     head_dim=cfg.attention_head_dim,
@@ -235,8 +240,9 @@ class UNet3DConditionModel(nn.Module):
                     name=f"up_blocks_{i}",
                 )(x, block_skips, emb, context)
             elif block_type == "UpBlock3D":
-                x = maybe_remat(UpBlock3D)(
+                x = UpBlock3D(
                     out_channels=rev_channels[i],
+                    remat=cfg.gradient_checkpointing,
                     num_frames=nf,
                     num_layers=n_layers,
                     norm_eps=cfg.norm_eps,

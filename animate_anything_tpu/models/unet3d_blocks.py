@@ -11,8 +11,12 @@ and op ordering — /root/reference/models/unet_3d_blocks.py):
 - temporal modules are skipped when num_frames == 1 (:516, :525) — num_frames
   is a static module attribute here, so the skip costs nothing under jit.
 
-Gradient checkpointing (the reference's custom wrappers :32-120) is applied a
-level up via flax nn.remat over whole blocks.
+Gradient checkpointing (the reference's custom wrappers :32-120) is applied
+at the same granularity as the reference: per sub-layer (resnet / temp_conv /
+spatial-attn / temporal-attn), via the `remat` flag on each block. Block-level
+remat (one nn.remat around the whole block) keeps every sub-layer's backward
+transients live at once — at 512px that working set is the HBM peak of the
+training step; per-sub-layer remat bounds it to one sub-layer.
 """
 
 from __future__ import annotations
@@ -31,6 +35,21 @@ from animate_anything_tpu.models.layers import (
 )
 
 
+def _sub_layers(remat: bool):
+    """(ResnetBlock2D, TemporalConvLayer, SpatialTransformer,
+    TemporalTransformer), each wrapped in nn.remat when checkpointing.
+    flax static_argnums counts `self` as 0 — num_frames/deterministic are
+    Python statics."""
+    if not remat:
+        return ResnetBlock2D, TemporalConvLayer, SpatialTransformer, TemporalTransformer
+    return (
+        nn.remat(ResnetBlock2D),
+        nn.remat(TemporalConvLayer, static_argnums=(2, 3)),
+        nn.remat(SpatialTransformer),
+        nn.remat(TemporalTransformer, static_argnums=(2,)),
+    )
+
+
 class CrossAttnDownBlock3D(nn.Module):
     out_channels: int
     num_frames: int
@@ -42,29 +61,31 @@ class CrossAttnDownBlock3D(nn.Module):
     add_downsample: bool = True
     attn_impl: Optional[str] = None
     deterministic: bool = True
+    remat: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, temb, context):
         deterministic = self.deterministic
         heads = self.out_channels // self.head_dim
+        Resnet, TempConv, SpatialT, TemporalT = _sub_layers(self.remat)
         outputs = []
         for i in range(self.num_layers):
-            x = ResnetBlock2D(
+            x = Resnet(
                 self.out_channels, eps=self.norm_eps, groups=self.groups,
                 impl=self.attn_impl, dtype=self.dtype, name=f"resnets_{i}",
             )(x, temb)
             if self.num_frames > 1:
-                x = TemporalConvLayer(
+                x = TempConv(
                     self.out_channels, impl=self.attn_impl, dtype=self.dtype,
                     name=f"temp_convs_{i}",
                 )(x, self.num_frames, deterministic)
-            x = SpatialTransformer(
+            x = SpatialT(
                 heads, self.head_dim, self.cross_attention_dim,
                 attn_impl=self.attn_impl, dtype=self.dtype, name=f"attentions_{i}",
             )(x, context)
             if self.num_frames > 1:
-                x = TemporalTransformer(
+                x = TemporalT(
                     heads, self.head_dim, attn_impl=self.attn_impl,
                     dtype=self.dtype, name=f"temp_attentions_{i}",
                 )(x, self.num_frames)
@@ -84,19 +105,21 @@ class DownBlock3D(nn.Module):
     add_downsample: bool = True
     attn_impl: Optional[str] = None
     deterministic: bool = True
+    remat: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, temb):
         deterministic = self.deterministic
+        Resnet, TempConv, _, _ = _sub_layers(self.remat)
         outputs = []
         for i in range(self.num_layers):
-            x = ResnetBlock2D(
+            x = Resnet(
                 self.out_channels, eps=self.norm_eps, groups=self.groups,
                 impl=self.attn_impl, dtype=self.dtype, name=f"resnets_{i}",
             )(x, temb)
             if self.num_frames > 1:
-                x = TemporalConvLayer(
+                x = TempConv(
                     self.out_channels, impl=self.attn_impl, dtype=self.dtype,
                     name=f"temp_convs_{i}",
                 )(x, self.num_frames, deterministic)
@@ -117,38 +140,40 @@ class UNetMidBlock3DCrossAttn(nn.Module):
     groups: int = 32
     attn_impl: Optional[str] = None
     deterministic: bool = True
+    remat: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, temb, context):
         deterministic = self.deterministic
         heads = self.in_channels // self.head_dim
-        x = ResnetBlock2D(
+        Resnet, TempConv, SpatialT, TemporalT = _sub_layers(self.remat)
+        x = Resnet(
             self.in_channels, eps=self.norm_eps, groups=self.groups,
             impl=self.attn_impl, dtype=self.dtype, name="resnets_0",
         )(x, temb)
         if self.num_frames > 1:
-            x = TemporalConvLayer(
+            x = TempConv(
                 self.in_channels, impl=self.attn_impl, dtype=self.dtype,
                 name="temp_convs_0",
             )(x, self.num_frames, deterministic)
         for i in range(self.num_layers):
-            x = SpatialTransformer(
+            x = SpatialT(
                 heads, self.head_dim, self.cross_attention_dim,
                 use_linear_projection=True,  # mid block uses linear proj (ref :251)
                 attn_impl=self.attn_impl, dtype=self.dtype, name=f"attentions_{i}",
             )(x, context)
             if self.num_frames > 1:
-                x = TemporalTransformer(
+                x = TemporalT(
                     heads, self.head_dim, attn_impl=self.attn_impl,
                     dtype=self.dtype, name=f"temp_attentions_{i}",
                 )(x, self.num_frames)
-            x = ResnetBlock2D(
+            x = Resnet(
                 self.in_channels, eps=self.norm_eps, groups=self.groups,
                 impl=self.attn_impl, dtype=self.dtype, name=f"resnets_{i + 1}",
             )(x, temb)
             if self.num_frames > 1:
-                x = TemporalConvLayer(
+                x = TempConv(
                     self.in_channels, impl=self.attn_impl, dtype=self.dtype,
                     name=f"temp_convs_{i + 1}",
                 )(x, self.num_frames, deterministic)
@@ -167,29 +192,31 @@ class CrossAttnUpBlock3D(nn.Module):
     attn_impl: Optional[str] = None
     output_size: Optional[tuple] = None
     deterministic: bool = True
+    remat: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, skips, temb, context):
         deterministic = self.deterministic
         heads = self.out_channels // self.head_dim
+        Resnet, TempConv, SpatialT, TemporalT = _sub_layers(self.remat)
         for i in range(self.num_layers):
             x = jnp.concatenate([x, skips.pop()], axis=-1)
-            x = ResnetBlock2D(
+            x = Resnet(
                 self.out_channels, eps=self.norm_eps, groups=self.groups,
                 impl=self.attn_impl, dtype=self.dtype, name=f"resnets_{i}",
             )(x, temb)
             if self.num_frames > 1:
-                x = TemporalConvLayer(
+                x = TempConv(
                     self.out_channels, impl=self.attn_impl, dtype=self.dtype,
                     name=f"temp_convs_{i}",
                 )(x, self.num_frames, deterministic)
-            x = SpatialTransformer(
+            x = SpatialT(
                 heads, self.head_dim, self.cross_attention_dim,
                 attn_impl=self.attn_impl, dtype=self.dtype, name=f"attentions_{i}",
             )(x, context)
             if self.num_frames > 1:
-                x = TemporalTransformer(
+                x = TemporalT(
                     heads, self.head_dim, attn_impl=self.attn_impl,
                     dtype=self.dtype, name=f"temp_attentions_{i}",
                 )(x, self.num_frames)
@@ -208,19 +235,21 @@ class UpBlock3D(nn.Module):
     output_size: Optional[tuple] = None
     attn_impl: Optional[str] = None
     deterministic: bool = True
+    remat: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, skips, temb):
         deterministic = self.deterministic
+        Resnet, TempConv, _, _ = _sub_layers(self.remat)
         for i in range(self.num_layers):
             x = jnp.concatenate([x, skips.pop()], axis=-1)
-            x = ResnetBlock2D(
+            x = Resnet(
                 self.out_channels, eps=self.norm_eps, groups=self.groups,
                 impl=self.attn_impl, dtype=self.dtype, name=f"resnets_{i}",
             )(x, temb)
             if self.num_frames > 1:
-                x = TemporalConvLayer(
+                x = TempConv(
                     self.out_channels, impl=self.attn_impl, dtype=self.dtype,
                     name=f"temp_convs_{i}",
                 )(x, self.num_frames, deterministic)

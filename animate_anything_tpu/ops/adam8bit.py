@@ -110,6 +110,12 @@ def adamw_8bit(
             v=jax.tree_util.tree_map(zv, params),
         )
 
+    def _blocked(x, dtype=jnp.float32):
+        """param-shaped array → (nblocks, block) in dtype (pads with 0)."""
+        flat = x.reshape(-1)
+        n = _nblocks(flat.size, block)
+        return jnp.pad(flat, (0, n * block - flat.size)).reshape(n, block).astype(dtype)
+
     def update(grads, state, params=None):
         if params is None:
             raise ValueError("adamw_8bit needs params (weight decay)")
@@ -117,22 +123,65 @@ def adamw_8bit(
         c1 = 1.0 - b1 ** count.astype(jnp.float32)
         c2 = 1.0 - b2 ** count.astype(jnp.float32)
 
-        tmap = jax.tree_util.tree_map
-        m = tmap(lambda z: _dequant_sym(z, block), state.m, is_leaf=_is_q)
-        v = tmap(lambda z: _dequant_pos(z, block), state.v, is_leaf=_is_q)
-        m = tmap(lambda mm, g: b1 * mm + (1.0 - b1) * g.astype(jnp.float32), m, grads)
-        v = tmap(lambda vv, g: b2 * vv + (1.0 - b2) * jnp.square(g.astype(jnp.float32)), v, grads)
-        upd = tmap(
-            lambda mm, vv, p: (
-                -learning_rate * (mm / c1 / (jnp.sqrt(vv / c2) + eps)
-                                  + weight_decay * p.astype(jnp.float32))
-            ).astype(p.dtype),
-            m, v, params,
-        )
-        return upd, Adam8bitState(
+        def leaf(g, p, zm, zv):
+            # All fp32 math stays in the blocked (nblocks, block) domain: the
+            # earlier shaped-domain version round-tripped blocked↔param-shape
+            # per stage, and XLA materialized the relayouts as full fp32
+            # copies — at 1.4 B params that alone blew the 16 GB HBM budget
+            # during the optimizer update.
+            shape, size, n = p.shape, p.size, zm.scale.shape[0]
+            gb = _blocked(g)
+            m = _blocked(zm.q) * zm.scale[:, None]
+            v = _blocked(zv.q) * zv.scale[:, None]
+            m = b1 * m + (1.0 - b1) * gb
+            v = b2 * v + (1.0 - b2) * jnp.square(gb)
+            ub = -learning_rate * (
+                m / c1 / (jnp.sqrt(v / c2) + eps) + weight_decay * _blocked(p)
+            )
+            upd = ub.reshape(-1)[:size].reshape(shape).astype(p.dtype)
+
+            ms = jnp.max(jnp.abs(m), axis=1) / 127.0
+            mq = jnp.clip(
+                jnp.round(m / jnp.where(ms > 0, ms, 1.0)[:, None]), -127, 127
+            ).astype(jnp.int8)
+            vs = jnp.max(v, axis=1) / 255.0
+            vq = jnp.clip(
+                jnp.round(v / jnp.where(vs > 0, vs, 1.0)[:, None]), 0, 255
+            ).astype(jnp.uint8)
+            return (
+                upd,
+                _Quantized(mq.reshape(-1)[:size].reshape(shape), ms),
+                _Quantized(vq.reshape(-1)[:size].reshape(shape), vs),
+            )
+
+        g_leaves, tdef = jax.tree_util.tree_flatten(grads)
+        p_leaves = tdef.flatten_up_to(params)
+        m_leaves = jax.tree_util.tree_flatten(state.m, is_leaf=_is_q)[0]
+        v_leaves = jax.tree_util.tree_flatten(state.v, is_leaf=_is_q)[0]
+
+        # Chain leaf GROUPS through optimization_barrier: without this, XLA
+        # hoists every leaf's cheap grad→fp32 conversion to the front of the
+        # schedule and the whole tree's fp32 temps (4 B/param × several) are
+        # live at once — measured +11 GB peak at 1.4 B params. The barrier
+        # ties each group's inputs to the previous group's results, bounding
+        # the live set to one group; the update is HBM-bound so the lost
+        # overlap is noise.
+        group = 8
+        upd, mq, vq = [], [], []
+        carry = None
+        for i in range(0, len(g_leaves), group):
+            blk = (g_leaves[i:i + group], p_leaves[i:i + group],
+                   m_leaves[i:i + group], v_leaves[i:i + group])
+            if carry is not None:
+                blk, carry = jax.lax.optimization_barrier((blk, carry))
+            outs = [leaf(g, p, zm, zv) for g, p, zm, zv in zip(*blk)]
+            carry = outs
+            for u, zm, zv in outs:
+                upd.append(u), mq.append(zm), vq.append(zv)
+        return tdef.unflatten(upd), Adam8bitState(
             count=count,
-            m=tmap(lambda mm: _quant_sym(mm, block), m),
-            v=tmap(lambda vv: _quant_pos(vv, block), v),
+            m=tdef.unflatten(mq),
+            v=tdef.unflatten(vq),
         )
 
     tx = optax.GradientTransformation(init, update)

@@ -22,8 +22,9 @@ Kernel design (per pallas_guide):
   optimal there — the kernel is for the long-sequence sites where flash
   fusion pays.
 
-Backward: custom_vjp that recomputes attention with XLA ops (flash-style
-remat — no O(S²) residuals are stored), so the kernel is usable in training.
+Backward: custom_vjp with Pallas dq and dk/dv kernels (see the backward
+section below) — O(S) memory like the forward; nothing O(S²) is ever stored
+or materialized, which is what lets full-model 512px training fit in 16 GB.
 """
 
 from __future__ import annotations
@@ -269,18 +270,242 @@ def _xla_reference(q, k, v):
     return jax.nn.dot_product_attention(q, k, v)
 
 
+# ---------------------------------------------------------------------------
+# Backward kernels.
+#
+# The original backward rematerialized through XLA's composite attention,
+# which materializes the full (S, S) probability matrix in fp32 during the
+# grad pass — 5.3 GB for ONE level-0 site at 512px (bh=85, s=4096), blowing
+# the 16 GB HBM budget for full-model training. These kernels keep the
+# backward O(S) like the forward:
+#
+# - dq kernel: grid (b·h, q-blocks); one q tile vs the full K/V rows (≤1 MB
+#   at S≤4096, d=64). Recomputes the softmax row-wise (nothing was saved),
+#   emits dq plus the row stats lse = m + log Σexp and Δ = rowsum(dO ⊙ O)
+#   lane-broadcast to (BQ, 128) fp32 — the layout the stock jax flash kernel
+#   uses for row stats (last-two-dims rule: (1, x) blocks are not tileable).
+# - dk/dv kernel: grid (b·h, k-blocks, q-chunks), q innermost; accumulates
+#   dk/dv for one K/V tile across q chunks in fp32 scratch, using the saved
+#   lse to renormalize (p = exp(s - lse), already /l) and Δ for ds.
+#
+# Padding correctness without masks in the dkv kernel: padded q rows have
+# dO = 0 and Δ = 0, so their p contributes 0 to both dv (p·0) and dk
+# (ds = p⊙(0-0)); padded K columns only produce grads for padded K rows,
+# which are sliced away. The dq kernel masks padded K columns exactly as the
+# forward does (they must not enter the softmax).
+# ---------------------------------------------------------------------------
+
+_BWD_BLOCK_Q = 128    # dq kernel q tile: (BQ, Sk) fp32 temps ×4 ≈ 8 MB VMEM
+_BWD_BLOCK_KV = 256   # dkv kernel K/V tile
+_BWD_BLOCK_Q2 = 1024  # dkv kernel streamed q chunk
+
+
+def _divisor_block(total: int, preferred: int) -> int:
+    """Largest multiple of _LANE ≤ preferred that divides total (total is a
+    multiple of _LANE)."""
+    b = min(preferred, total)
+    while total % b:
+        b -= _LANE
+    return b
+
+
+def _bwd_dq_kernel(valid_k_ref, q_ref, k_ref, v_ref, do_ref, o_ref,
+                   dq_ref, lse_ref, delta_ref, *, scale: float, masked: bool):
+    q = (q_ref[0].astype(jnp.float32) * scale).astype(q_ref.dtype)  # (BQ, D)
+    k = k_ref[0]                                   # (Sk, D)
+    v = v_ref[0]
+    do = do_ref[0]                                 # (BQ, D)
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )                                              # (BQ, Sk) fp32
+    if masked:
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < valid_k_ref[0], s, -1e30)
+
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    lse = m + jnp.log(l)                           # (BQ, 1)
+
+    delta = jnp.sum(
+        do.astype(jnp.float32) * o_ref[0].astype(jnp.float32),
+        axis=-1, keepdims=True,
+    )                                              # (BQ, 1)
+
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )                                              # (BQ, Sk) fp32
+    ds = (p / l) * (dp - delta)
+    dq = jax.lax.dot_general(
+        ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale                                      # (BQ, D) fp32
+    dq_ref[0] = dq.astype(dq_ref.dtype)
+    lse_ref[0] = jnp.broadcast_to(lse, lse_ref.shape[1:]).astype(jnp.float32)
+    delta_ref[0] = jnp.broadcast_to(delta, delta_ref.shape[1:]).astype(jnp.float32)
+
+
+def _bwd_dkv_kernel(q_ref, do_ref, lse_ref, delta_ref, k_ref, v_ref,
+                    dk_ref, dv_ref, dk_acc, dv_acc, *, scale: float, nq: int):
+    qi = pl.program_id(2)
+
+    @pl.when(qi == 0)
+    def _init():
+        dk_acc[...] = jnp.zeros_like(dk_acc)
+        dv_acc[...] = jnp.zeros_like(dv_acc)
+
+    q = (q_ref[0].astype(jnp.float32) * scale).astype(q_ref.dtype)  # (BQ2, D)
+    do = do_ref[0]                                 # (BQ2, D)
+    k = k_ref[0]                                   # (BK, D)
+    v = v_ref[0]
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )                                              # (BQ2, BK) fp32
+    p = jnp.exp(s - lse_ref[0][:, :1])             # normalized probs
+    dv_acc[...] += jax.lax.dot_general(
+        p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                              # (BK, D)
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )                                              # (BQ2, BK) fp32
+    ds = p * (dp - delta_ref[0][:, :1])
+    dk_acc[...] += jax.lax.dot_general(
+        ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                              # (BK, D) — q pre-scaled
+
+    @pl.when(qi == nq - 1)
+    def _emit():
+        dk_ref[0] = dk_acc[...].astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[...].astype(dv_ref.dtype)
+
+
+def _flash_backward(q, k, v, o, g):
+    """All inputs (B, S, H, D); returns (dq, dk, dv) in the input dtypes."""
+    b, sq, h, d = q.shape
+    sk = k.shape[1]
+    scale = 1.0 / (d**0.5)
+
+    qf = q.transpose(0, 2, 1, 3).reshape(b * h, sq, d)
+    kf = k.transpose(0, 2, 1, 3).reshape(b * h, sk, d)
+    vf = v.transpose(0, 2, 1, 3).reshape(b * h, sk, d)
+    of = o.transpose(0, 2, 1, 3).reshape(b * h, sq, d)
+    gf = g.transpose(0, 2, 1, 3).reshape(b * h, sq, d).astype(q.dtype)
+
+    block_q = min(_BWD_BLOCK_Q, _round_up(sq, _LANE))
+    sq_pad = _round_up(sq, block_q)
+    sk_pad = _round_up(sk, _LANE)
+    if sq_pad != sq:
+        pad = ((0, 0), (0, sq_pad - sq), (0, 0))
+        qf, of, gf = jnp.pad(qf, pad), jnp.pad(of, pad), jnp.pad(gf, pad)
+    if sk_pad != sk:
+        pad = ((0, 0), (0, sk_pad - sk), (0, 0))
+        kf, vf = jnp.pad(kf, pad), jnp.pad(vf, pad)
+
+    valid_k = jnp.asarray([sk], jnp.int32)
+    bh = b * h
+
+    dq, lse, delta = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel, scale=scale, masked=sk_pad != sk),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(bh, sq_pad // block_q),
+            in_specs=[
+                pl.BlockSpec((1, block_q, d), lambda bb, qi, *_: (bb, qi, 0)),
+                pl.BlockSpec((1, sk_pad, d), lambda bb, qi, *_: (bb, 0, 0)),
+                pl.BlockSpec((1, sk_pad, d), lambda bb, qi, *_: (bb, 0, 0)),
+                pl.BlockSpec((1, block_q, d), lambda bb, qi, *_: (bb, qi, 0)),
+                pl.BlockSpec((1, block_q, d), lambda bb, qi, *_: (bb, qi, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, block_q, d), lambda bb, qi, *_: (bb, qi, 0)),
+                pl.BlockSpec((1, block_q, _LANE), lambda bb, qi, *_: (bb, qi, 0)),
+                pl.BlockSpec((1, block_q, _LANE), lambda bb, qi, *_: (bb, qi, 0)),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, sq_pad, d), q.dtype),
+            jax.ShapeDtypeStruct((bh, sq_pad, _LANE), jnp.float32),
+            jax.ShapeDtypeStruct((bh, sq_pad, _LANE), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=6 * bh * sq_pad * sk_pad * d,
+            bytes_accessed=2 * (qf.size + kf.size + vf.size) * qf.dtype.itemsize,
+            transcendentals=bh * sq_pad * sk_pad,
+        ),
+    )(valid_k, qf, kf, vf, gf, of)
+
+    block_kv = _divisor_block(sk_pad, _BWD_BLOCK_KV)
+    block_q2 = _divisor_block(sq_pad, _BWD_BLOCK_Q2)
+    nq2 = sq_pad // block_q2
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel, scale=scale, nq=nq2),
+        grid=(bh, sk_pad // block_kv, nq2),
+        in_specs=[
+            pl.BlockSpec((1, block_q2, d), lambda bb, ki, qi: (bb, qi, 0)),
+            pl.BlockSpec((1, block_q2, d), lambda bb, ki, qi: (bb, qi, 0)),
+            pl.BlockSpec((1, block_q2, _LANE), lambda bb, ki, qi: (bb, qi, 0)),
+            pl.BlockSpec((1, block_q2, _LANE), lambda bb, ki, qi: (bb, qi, 0)),
+            pl.BlockSpec((1, block_kv, d), lambda bb, ki, qi: (bb, ki, 0)),
+            pl.BlockSpec((1, block_kv, d), lambda bb, ki, qi: (bb, ki, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_kv, d), lambda bb, ki, qi: (bb, ki, 0)),
+            pl.BlockSpec((1, block_kv, d), lambda bb, ki, qi: (bb, ki, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_kv, d), jnp.float32),
+            pltpu.VMEM((block_kv, d), jnp.float32),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, sk_pad, d), k.dtype),
+            jax.ShapeDtypeStruct((bh, sk_pad, d), v.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=8 * bh * sq_pad * sk_pad * d,
+            bytes_accessed=2 * (qf.size + kf.size + vf.size) * qf.dtype.itemsize,
+            transcendentals=bh * sq_pad * sk_pad,
+        ),
+    )(qf, gf, lse, delta, kf, vf)
+
+    dq = dq[:, :sq].reshape(b, h, sq, d).transpose(0, 2, 1, 3)
+    dk = dk[:, :sk].reshape(b, h, sk, d).transpose(0, 2, 1, 3)
+    dv = dv[:, :sk].reshape(b, h, sk, d).transpose(0, 2, 1, 3)
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+
+
 @jax.custom_vjp
 def _flash_attention_p(q, k, v):
     return _flash_forward(q, k, v)
 
 
 def _fwd(q, k, v):
-    return _flash_forward(q, k, v), (q, k, v)
+    o = _flash_forward(q, k, v)
+    return o, (q, k, v, o)
 
 
 def _bwd(res, g):
-    # flash-style rematerialized backward: recompute probabilities in fp32
-    # with XLA (fused well by the compiler); nothing O(S²) was saved.
+    q, k, v, o = res
+    return _flash_backward(q, k, v, o, g)
+
+
+_flash_attention_p.defvjp(_fwd, _bwd)
+
+
+def _bwd_xla(res, g):
+    # rematerialized backward through XLA's composite attention — materializes
+    # O(S²) fp32 probabilities in the grad pass; kept only for the dormant
+    # packed-heads kernel.
     q, k, v = res
 
     def ref(q, k, v):
@@ -288,9 +513,6 @@ def _bwd(res, g):
 
     _, vjp = jax.vjp(ref, q, k, v)
     return vjp(g)
-
-
-_flash_attention_p.defvjp(_fwd, _bwd)
 
 
 @jax.custom_vjp
@@ -302,7 +524,7 @@ def _fwd_packed(q, k, v):
     return _flash_forward_packed(q, k, v), (q, k, v)
 
 
-_flash_attention_packed_p.defvjp(_fwd_packed, _bwd)
+_flash_attention_packed_p.defvjp(_fwd_packed, _bwd_xla)
 
 
 def flash_attention(

@@ -124,8 +124,27 @@ def _fwd(x2, s, b, w1, b1, w2, b2, eps, rows):
     return _pallas_ln_geglu(x2, s, b, w1, b1, w2, b2, eps, rows), (x2, s, b, w1, b1, w2, b2)
 
 
+def _reference_lean(x2, s, b, w1, b1, w2, b2, eps):
+    """Gradient twin that stores the (rows, 8c) GEGLU hidden in the compute
+    dtype instead of fp32. Under vjp the exact twin's fp32 `h` (and its two
+    halves) are the dominant saved/transient values — 0.7 GB per c=320 site
+    at 512px during training. Same function, bf16 rounding on h; gradients
+    agree to accumulation noise."""
+    xf = x2.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
+    ln = ((xf - mu) * jax.lax.rsqrt(var + eps) * s + b).astype(x2.dtype)
+    h = (jnp.dot(ln, w1, preferred_element_type=jnp.float32) + b1).astype(x2.dtype)
+    inner = h.shape[-1] // 2
+    val, gate = h[:, :inner], h[:, inner:]
+    act = (val.astype(jnp.float32)
+           * jax.nn.gelu(gate.astype(jnp.float32), approximate=False)).astype(x2.dtype)
+    y = jnp.dot(act, w2, preferred_element_type=jnp.float32) + b2 + xf
+    return y.astype(x2.dtype)
+
+
 def _bwd(eps, rows, res, g):
-    _, vjp = jax.vjp(lambda *a: _reference(*a, eps), *res)
+    _, vjp = jax.vjp(lambda *a: _reference_lean(*a, eps), *res)
     return vjp(g)
 
 

@@ -182,6 +182,48 @@ def _reference(xp, lns, lnb, wq, wk, wv, wo, bo, *, geom: PackGeometry,
     return (out + bo + xf).astype(xp.dtype)
 
 
+def _reference_lean(xp, lns, lnb, wq, wk, wv, wo, bo, *, geom: PackGeometry,
+                    heads: int, d: int, eps: float = 1e-5):
+    """Gradient twin with per-location attention (backward only).
+
+    The exact twin above materializes the DENSE packed (Rp, Rp) score/prob
+    matrices the kernel uses — under vjp those are saved fp32 residuals,
+    ~270 MB per c=320 site at 512px, and the dominant HBM cost of training
+    through the fused path. But the pack mask makes the attention exactly
+    block-diagonal: row r = frame·p + location only attends within its
+    location. This twin computes the same function unpacked per location
+    (f×f scores instead of Rp×Rp — p·(Rp/R)² ≈ 7× smaller, and only this is
+    saved fp32), so it has identical gradients on all real rows. Pad rows
+    (R..Rp) differ in VALUE from the exact twin, which is safe in a
+    gradient-only role: pad rows are never attended to as keys (col < R
+    mask) and every consumer drops them, so their cotangent is always zero.
+    """
+    b, t, c = xp.shape
+    g = geom
+    xf = xp.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
+    ln = ((xf - mu) * jax.lax.rsqrt(var + eps) * lns + lnb).astype(xp.dtype)
+
+    def proj(w):
+        y = jnp.einsum("btc,cD->btD", ln, w, preferred_element_type=jnp.float32)
+        y = y.astype(xp.dtype).reshape(b, g.npk, g.Rp, heads * d)[:, :, : g.R]
+        return y.reshape(b, g.npk, g.f, g.p, heads, d)
+
+    q, k, v = proj(wq), proj(wk), proj(wv)
+    sc = jnp.einsum("bnfphd,bngphd->bnphfg", q, k,
+                    preferred_element_type=jnp.float32) * (1.0 / d ** 0.5)
+    probs = jax.nn.softmax(sc, axis=-1)                 # (b, npk, p, h, f, f)
+    o = jnp.einsum("bnphfg,bngphd->bnfphd", probs.astype(v.dtype), v,
+                   preferred_element_type=jnp.float32).astype(xp.dtype)
+    o = o.reshape(b, g.npk, g.R, heads * d)
+    if g.Rp != g.R:
+        o = jnp.pad(o, ((0, 0), (0, 0), (0, g.Rp - g.R), (0, 0)))
+    o = o.reshape(b, t, heads * d)
+    out = jnp.einsum("btc,cD->btD", o, wo, preferred_element_type=jnp.float32)
+    return (out + bo + xf).astype(xp.dtype)
+
+
 @functools.lru_cache(maxsize=64)
 def _build(geom: PackGeometry, heads: int, d: int, c: int, eps: float,
            fuse_residual: bool = True):
@@ -257,7 +299,7 @@ def _build_vjp(geom: PackGeometry, heads: int, d: int, c: int, eps: float):
                 acc = y if acc is None else acc + y
             return (acc + bo + xp.astype(jnp.float32)).astype(xp.dtype)
 
-    ref = functools.partial(_reference, geom=g, heads=heads, d=d, eps=eps)
+    ref = functools.partial(_reference_lean, geom=g, heads=heads, d=d, eps=eps)
 
     @jax.custom_vjp
     def fused(xp, lns, lnb, wq, wk, wv, wo, bo):

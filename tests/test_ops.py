@@ -57,11 +57,41 @@ def test_flash_attention_grad():
     q = jax.random.normal(jax.random.PRNGKey(0), (1, 128, 1, 64))
 
     def loss(q):
-        with pltpu.force_tpu_interpret_mode():
-            return (_flash_attention_p(q, q, q) ** 2).sum()
+        return (_flash_attention_p(q, q, q) ** 2).sum()
 
-    g = jax.grad(loss)(q)
+    with pltpu.force_tpu_interpret_mode():  # backward is Pallas too now
+        g = jax.grad(loss)(q)
     assert np.isfinite(np.asarray(g)).all() and float(jnp.abs(g).sum()) > 0
+
+
+@pytest.mark.parametrize(
+    "b,sq,sk,h",
+    [
+        (2, 256, 256, 3),   # aligned, multi-head/batch
+        (1, 256, 300, 2),   # K padding → masked softmax in the dq kernel
+        (1, 384, 384, 2),   # sq not a multiple of the dkv q-chunk preference
+    ],
+)
+def test_flash_attention_pallas_backward_matches_xla(b, sq, sk, h):
+    """The Pallas dq + dk/dv kernels must match XLA attention grads exactly
+    (fp32): this is the O(S)-memory backward that lets 512px training fit."""
+    d = 64
+    kq, kk, kv, kg = jax.random.split(jax.random.PRNGKey(1), 4)
+    q = jax.random.normal(kq, (b, sq, h, d))
+    k = jax.random.normal(kk, (b, sk, h, d))
+    v = jax.random.normal(kv, (b, sk, h, d))
+    g = jax.random.normal(kg, (b, sq, h, d))
+
+    with pltpu.force_tpu_interpret_mode():
+        out, vjp = jax.vjp(_flash_attention_p, q, k, v)
+        grads = vjp(g)
+    out_r, vjp_r = jax.vjp(
+        lambda q, k, v: jax.nn.dot_product_attention(q, k, v), q, k, v
+    )
+    grads_r = vjp_r(g)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out_r), atol=2e-5)
+    for a, r in zip(grads, grads_r):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r), atol=2e-5)
 
 
 def test_group_norm_pick_chunk():
@@ -179,6 +209,40 @@ def test_fused_temporal_block_kernel_matches_reference():
         out = fused_temporal_attn_block(
             xp, lns, lnb, *ws, bo, geom=g, heads=heads, head_dim=d, impl="pallas")
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
+
+
+def test_fused_temporal_block_lean_backward_matches_exact():
+    """The memory-lean per-location gradient twin (used in the custom_vjp
+    backward) must match the exact packed twin's gradients on real rows and
+    produce zero pad-row discrepancy (pad cotangents are always zero)."""
+    import functools
+    from animate_anything_tpu.ops.temporal_block import (
+        _reference, _reference_lean, pack_frames, pack_geometry, unpack_frames)
+
+    c, heads, d, f, s = 64, 8, 8, 17, 24    # p=7, R=119, Rp=120 (pad row)
+    g = pack_geometry(f, s)
+    ks = jax.random.split(jax.random.PRNGKey(0), 9)
+    x = jax.random.normal(ks[0], (2, f, s, c))
+    xp = pack_frames(x, g)
+    lns = jax.random.normal(ks[1], (1, c)) * 0.1 + 1
+    lnb = jax.random.normal(ks[2], (1, c)) * 0.1
+    ws = [jax.random.normal(k, (c, c)) * c ** -0.5 for k in ks[3:7]]
+    bo = jax.random.normal(ks[7], (1, c)) * 0.1
+    args = (xp, lns, lnb, *ws, bo)
+
+    def loss(fn, *a):  # consumer drops pad rows, like every real consumer
+        return (unpack_frames(fn(*a), g) ** 2).sum()
+
+    for fn in (_reference, _reference_lean):
+        fn_g = functools.partial(fn, geom=g, heads=heads, d=d)
+        grads = jax.grad(functools.partial(loss, fn_g), argnums=tuple(range(8)))(*args)
+        if fn is _reference:
+            exact = grads
+        else:
+            for a, b in zip(exact, grads):
+                scale = float(jnp.abs(a).max()) + 1e-6
+                np.testing.assert_allclose(
+                    np.asarray(b) / scale, np.asarray(a) / scale, atol=1e-5)
 
 
 def test_fused_temporal_block_equals_unfused_module():
