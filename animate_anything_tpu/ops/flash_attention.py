@@ -266,6 +266,105 @@ def _flash_forward_packed(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp
     return out[:, :sq].reshape(b, sq, h, d)
 
 
+def _lanes_kernel(valid_k_ref, q_ref, k_ref, v_ref, o_ref, *, scale: float,
+                  masked: bool, d: int, odd_last: int):
+    """Head-PAIR variant of _attn_kernel on the natural (b, s, h·d) layout.
+
+    One program = one q tile × one 128-lane channel block = TWO d=64 heads,
+    indexed straight out of the (b, s, c) array — no (b,s,h,d)→(b·h,s,d)
+    transposes (those relayouts cost ~11-15 ms per UNet step at 512px and
+    2× lane-pad waste, since a d=64 minor dim pads to 128 lanes). For odd
+    head counts (c=320 → 5 heads) the last block hangs past the channel
+    edge: its second half reads undefined lanes and computes a garbage head,
+    but per-head math is lane-confined and out-of-bounds output lanes are
+    discarded by Mosaic's ragged-edge handling.
+    """
+    q = (q_ref[0].astype(jnp.float32) * scale).astype(q_ref.dtype)  # (BQ, 128)
+    k = k_ref[0]                                   # (Sk, 128)
+    v = v_ref[0]
+
+    def head(j):
+        sl = slice(j * d, (j + 1) * d)
+        scores = jax.lax.dot_general(
+            q[:, sl], k[:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                          # (BQ, Sk) fp32
+        if masked:
+            col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+            scores = jnp.where(col < valid_k_ref[0], scores, -1e30)
+        m = jnp.max(scores, axis=-1, keepdims=True)
+        p = jnp.exp(scores - m)
+        denom = jnp.sum(p, axis=-1, keepdims=True)
+        o = jnp.dot(p.astype(v.dtype), v[:, sl],
+                    preferred_element_type=jnp.float32) / denom
+        return o.astype(o_ref.dtype)
+
+    o_ref[0, :, :d] = head(0)
+    if odd_last >= 0:
+        # odd head count: the last channel block's second half is past the
+        # array edge (garbage in, writes discarded) — skip its compute
+        @pl.when(pl.program_id(1) != odd_last)
+        def _():
+            o_ref[0, :, d:] = head(1)
+    else:
+        o_ref[0, :, d:] = head(1)
+
+
+def _flash_forward_lanes(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """q (B, Sq, H, D), k/v (B, Sk, H, D) → (B, Sq, H, D), transpose-free:
+    heads stay folded in the channel dim ((B, S, H·D) bitcast views) and the
+    kernel grid blocks the channel dim in 128-lane head pairs."""
+    b, sq, h, d = q.shape
+    sk = k.shape[1]
+    c = h * d
+    scale = 1.0 / (d**0.5)
+
+    qf = q.reshape(b, sq, c)   # bitcasts: producer layout is already (.., h·d)
+    kf = k.reshape(b, sk, c)
+    vf = v.reshape(b, sk, c)
+
+    block_q = min(_BLOCK_Q, _round_up(sq, _LANE))
+    sq_pad = _round_up(sq, block_q)
+    sk_pad = _round_up(sk, _LANE)
+    if sq_pad != sq:
+        qf = jnp.pad(qf, ((0, 0), (0, sq_pad - sq), (0, 0)))
+    if sk_pad != sk:
+        kf = jnp.pad(kf, ((0, 0), (0, sk_pad - sk), (0, 0)))
+        vf = jnp.pad(vf, ((0, 0), (0, sk_pad - sk), (0, 0)))
+
+    n_pairs = _cdiv(h, 2)
+    grid = (b, n_pairs, sq_pad // block_q)
+    valid_k = jnp.asarray([sk], jnp.int32)
+
+    out = pl.pallas_call(
+        functools.partial(_lanes_kernel, scale=scale, masked=sk_pad != sk, d=d,
+                          odd_last=(n_pairs - 1) if h % 2 else -1),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, block_q, 2 * d), lambda bb, hp, qi, *_: (bb, qi, hp)),
+                pl.BlockSpec((1, sk_pad, 2 * d), lambda bb, hp, qi, *_: (bb, 0, hp)),
+                pl.BlockSpec((1, sk_pad, 2 * d), lambda bb, hp, qi, *_: (bb, 0, hp)),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, block_q, 2 * d), lambda bb, hp, qi, *_: (bb, qi, hp)
+            ),
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, sq_pad, c), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * sq_pad * sk_pad * d,
+            bytes_accessed=(qf.size + kf.size + vf.size) * qf.dtype.itemsize,
+            transcendentals=b * h * sq_pad * sk_pad,
+        ),
+    )(valid_k, qf, kf, vf)
+
+    return out[:, :sq].reshape(b, sq, h, d)
+
+
 def _xla_reference(q, k, v):
     return jax.nn.dot_product_attention(q, k, v)
 
@@ -484,13 +583,23 @@ def _flash_backward(q, k, v, o, g):
     return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
 
 
-@jax.custom_vjp
-def _flash_attention_p(q, k, v):
+def _forward_impl(q, k, v):
+    # d=64 heads pair exactly into 128-lane channel blocks → the transpose-
+    # free lanes kernel wins at every UNet site (measured v5e, CFG batch:
+    # s=4096 12.3 vs 13.3 ms; s=1024 3.6 vs 4.8; s=256 2.3 vs 2.7, transposes
+    # included). Other head dims use the folded-heads kernel.
+    if q.shape[-1] == 64:
+        return _flash_forward_lanes(q, k, v)
     return _flash_forward(q, k, v)
 
 
+@jax.custom_vjp
+def _flash_attention_p(q, k, v):
+    return _forward_impl(q, k, v)
+
+
 def _fwd(q, k, v):
-    o = _flash_forward(q, k, v)
+    o = _forward_impl(q, k, v)
     return o, (q, k, v, o)
 
 

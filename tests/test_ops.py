@@ -64,6 +64,22 @@ def test_flash_attention_grad():
     assert np.isfinite(np.asarray(g)).all() and float(jnp.abs(g).sum()) > 0
 
 
+@pytest.mark.parametrize("h", [1, 2, 5])  # odd h → ragged last channel block
+def test_flash_attention_lanes_kernel_matches_xla(h):
+    """Transpose-free head-pair kernel on the natural (b, s, h·d) layout —
+    the d=64 forward path."""
+    from animate_anything_tpu.ops.flash_attention import _flash_forward_lanes
+
+    kq, kk, kv = jax.random.split(jax.random.PRNGKey(h), 3)
+    q = jax.random.normal(kq, (2, 256, h, 64))
+    k = jax.random.normal(kk, (2, 300, h, 64))   # K padding → masked softmax
+    v = jax.random.normal(kv, (2, 300, h, 64))
+    with pltpu.force_tpu_interpret_mode():
+        out = _flash_forward_lanes(q, k, v)
+    ref = jax.nn.dot_product_attention(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
 @pytest.mark.parametrize(
     "b,sq,sk,h",
     [
