@@ -178,6 +178,11 @@ def ln_geglu_ff(
     )
     if use_pallas:
         out = _fused_p(*args, eps, _pick_rows(c))
+    elif impl == "pallas":
+        # perf mode but too wide for the kernel (c=1280 GEGLU hidden is 10240
+        # lanes): lean composite — bf16-stored hidden. The exact composite's
+        # fp32 (rows, 8c) hidden costs ~10 ms/step at 512px on these sites.
+        out = _reference_lean(*args, eps)
     else:
         out = _reference(*args, eps)
     return out.reshape(shape)
