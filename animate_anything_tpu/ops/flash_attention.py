@@ -583,6 +583,222 @@ def _flash_backward(q, k, v, o, g):
     return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
 
 
+def _bwd_dq_lanes_kernel(valid_k_ref, q_ref, k_ref, v_ref, do_ref, o_ref,
+                         dq_ref, lse_ref, delta_ref, *, scale: float,
+                         masked: bool, d: int, odd_last: int):
+    """Head-pair dq kernel on the natural (b, s, h·d) layout — the backward
+    analog of _lanes_kernel; also emits per-head lse/Δ broadcast into each
+    head's 64-lane half of a (BQ, 128) stats block."""
+    q = (q_ref[0].astype(jnp.float32) * scale).astype(q_ref.dtype)  # (BQ, 128)
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0]
+    o = o_ref[0]
+
+    def head(j):
+        sl = slice(j * d, (j + 1) * d)
+        s = jax.lax.dot_general(
+            q[:, sl], k[:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        if masked:
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            s = jnp.where(col < valid_k_ref[0], s, -1e30)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        lse = m + jnp.log(l)
+        delta = jnp.sum(
+            do[:, sl].astype(jnp.float32) * o[:, sl].astype(jnp.float32),
+            axis=-1, keepdims=True,
+        )
+        dp = jax.lax.dot_general(
+            do[:, sl], v[:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = (p / l) * (dp - delta)
+        dq = jax.lax.dot_general(
+            ds.astype(k.dtype), k[:, sl], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        return dq.astype(dq_ref.dtype), lse, delta
+
+    bq = dq_ref.shape[1]
+    dq0, lse0, delta0 = head(0)
+    dq_ref[0, :, :d] = dq0
+    lse_ref[0, :, :d] = jnp.broadcast_to(lse0, (bq, d)).astype(jnp.float32)
+    delta_ref[0, :, :d] = jnp.broadcast_to(delta0, (bq, d)).astype(jnp.float32)
+
+    def second():
+        dq1, lse1, delta1 = head(1)
+        dq_ref[0, :, d:] = dq1
+        lse_ref[0, :, d:] = jnp.broadcast_to(lse1, (bq, d)).astype(jnp.float32)
+        delta_ref[0, :, d:] = jnp.broadcast_to(delta1, (bq, d)).astype(jnp.float32)
+
+    if odd_last >= 0:
+        @pl.when(pl.program_id(1) != odd_last)
+        def _():
+            second()
+    else:
+        second()
+
+
+def _bwd_dkv_lanes_kernel(q_ref, do_ref, lse_ref, delta_ref, k_ref, v_ref,
+                          dk_ref, dv_ref, dk_acc, dv_acc, *, scale: float,
+                          nq: int, d: int, odd_last: int):
+    qi = pl.program_id(3)
+
+    @pl.when(qi == 0)
+    def _init():
+        dk_acc[...] = jnp.zeros_like(dk_acc)
+        dv_acc[...] = jnp.zeros_like(dv_acc)
+
+    q = (q_ref[0].astype(jnp.float32) * scale).astype(q_ref.dtype)  # (BQ2, 128)
+    do = do_ref[0]
+    k = k_ref[0]                                   # (BK, 128)
+    v = v_ref[0]
+
+    def head(j):
+        sl = slice(j * d, (j + 1) * d)
+        s = jax.lax.dot_general(
+            q[:, sl], k[:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                          # (BQ2, BK)
+        p = jnp.exp(s - lse_ref[0][:, j * d:j * d + 1])
+        dv_acc[:, sl] += jax.lax.dot_general(
+            p.astype(do.dtype), do[:, sl], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dp = jax.lax.dot_general(
+            do[:, sl], v[:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = p * (dp - delta_ref[0][:, j * d:j * d + 1])
+        dk_acc[:, sl] += jax.lax.dot_general(
+            ds.astype(q.dtype), q[:, sl], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    head(0)
+    if odd_last >= 0:
+        @pl.when(pl.program_id(1) != odd_last)
+        def _():
+            head(1)
+    else:
+        head(1)
+
+    @pl.when(qi == nq - 1)
+    def _emit():
+        dk_ref[0] = dk_acc[...].astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[...].astype(dv_ref.dtype)
+
+
+def _flash_backward_lanes(q, k, v, o, g):
+    """Transpose-free backward on the natural (B, S, H·D) layout, d=64."""
+    b, sq, h, d = q.shape
+    sk = k.shape[1]
+    c = h * d
+    scale = 1.0 / (d**0.5)
+
+    qf = q.reshape(b, sq, c)
+    kf = k.reshape(b, sk, c)
+    vf = v.reshape(b, sk, c)
+    of = o.reshape(b, sq, c)
+    gf = g.reshape(b, sq, c).astype(q.dtype)
+
+    block_q = min(_BWD_BLOCK_Q, _round_up(sq, _LANE))
+    sq_pad = _round_up(sq, block_q)
+    sk_pad = _round_up(sk, _LANE)
+    if sq_pad != sq:
+        pad = ((0, 0), (0, sq_pad - sq), (0, 0))
+        qf, of, gf = jnp.pad(qf, pad), jnp.pad(of, pad), jnp.pad(gf, pad)
+    if sk_pad != sk:
+        pad = ((0, 0), (0, sk_pad - sk), (0, 0))
+        kf, vf = jnp.pad(kf, pad), jnp.pad(vf, pad)
+
+    n_pairs = _cdiv(h, 2)
+    odd_last = (n_pairs - 1) if h % 2 else -1
+    cs = n_pairs * 2 * d           # stats array channel width (pair-padded)
+    valid_k = jnp.asarray([sk], jnp.int32)
+
+    dq, lse, delta = pl.pallas_call(
+        functools.partial(_bwd_dq_lanes_kernel, scale=scale,
+                          masked=sk_pad != sk, d=d, odd_last=odd_last),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b, n_pairs, sq_pad // block_q),
+            in_specs=[
+                pl.BlockSpec((1, block_q, 2 * d), lambda bb, hp, qi, *_: (bb, qi, hp)),
+                pl.BlockSpec((1, sk_pad, 2 * d), lambda bb, hp, qi, *_: (bb, 0, hp)),
+                pl.BlockSpec((1, sk_pad, 2 * d), lambda bb, hp, qi, *_: (bb, 0, hp)),
+                pl.BlockSpec((1, block_q, 2 * d), lambda bb, hp, qi, *_: (bb, qi, hp)),
+                pl.BlockSpec((1, block_q, 2 * d), lambda bb, hp, qi, *_: (bb, qi, hp)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, block_q, 2 * d), lambda bb, hp, qi, *_: (bb, qi, hp)),
+                pl.BlockSpec((1, block_q, 2 * d), lambda bb, hp, qi, *_: (bb, qi, hp)),
+                pl.BlockSpec((1, block_q, 2 * d), lambda bb, hp, qi, *_: (bb, qi, hp)),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((b, sq_pad, c), q.dtype),
+            jax.ShapeDtypeStruct((b, sq_pad, cs), jnp.float32),
+            jax.ShapeDtypeStruct((b, sq_pad, cs), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=6 * b * h * sq_pad * sk_pad * d,
+            bytes_accessed=2 * (qf.size + kf.size + vf.size) * qf.dtype.itemsize,
+            transcendentals=b * h * sq_pad * sk_pad,
+        ),
+    )(valid_k, qf, kf, vf, gf, of)
+
+    block_kv = _divisor_block(sk_pad, _BWD_BLOCK_KV)
+    block_q2 = _divisor_block(sq_pad, _BWD_BLOCK_Q2)
+    nq2 = sq_pad // block_q2
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_bwd_dkv_lanes_kernel, scale=scale, nq=nq2, d=d,
+                          odd_last=odd_last),
+        grid=(b, n_pairs, sk_pad // block_kv, nq2),
+        in_specs=[
+            pl.BlockSpec((1, block_q2, 2 * d), lambda bb, hp, ki, qi: (bb, qi, hp)),
+            pl.BlockSpec((1, block_q2, 2 * d), lambda bb, hp, ki, qi: (bb, qi, hp)),
+            pl.BlockSpec((1, block_q2, 2 * d), lambda bb, hp, ki, qi: (bb, qi, hp)),
+            pl.BlockSpec((1, block_q2, 2 * d), lambda bb, hp, ki, qi: (bb, qi, hp)),
+            pl.BlockSpec((1, block_kv, 2 * d), lambda bb, hp, ki, qi: (bb, ki, hp)),
+            pl.BlockSpec((1, block_kv, 2 * d), lambda bb, hp, ki, qi: (bb, ki, hp)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_kv, 2 * d), lambda bb, hp, ki, qi: (bb, ki, hp)),
+            pl.BlockSpec((1, block_kv, 2 * d), lambda bb, hp, ki, qi: (bb, ki, hp)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_kv, 2 * d), jnp.float32),
+            pltpu.VMEM((block_kv, 2 * d), jnp.float32),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, sk_pad, c), k.dtype),
+            jax.ShapeDtypeStruct((b, sk_pad, c), v.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=8 * b * h * sq_pad * sk_pad * d,
+            bytes_accessed=2 * (qf.size + kf.size + vf.size) * qf.dtype.itemsize,
+            transcendentals=b * h * sq_pad * sk_pad,
+        ),
+    )(qf, gf, lse, delta, kf, vf)
+
+    dq = dq[:, :sq].reshape(b, sq, h, d)
+    dk = dk[:, :sk].reshape(b, sk, h, d)
+    dv = dv[:, :sk].reshape(b, sk, h, d)
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+
+
 def _forward_impl(q, k, v):
     # d=64 heads pair exactly into 128-lane channel blocks → the transpose-
     # free lanes kernel wins at every UNet site (measured v5e, CFG batch:
@@ -605,6 +821,8 @@ def _fwd(q, k, v):
 
 def _bwd(res, g):
     q, k, v, o = res
+    if q.shape[-1] == 64:
+        return _flash_backward_lanes(q, k, v, o, g)
     return _flash_backward(q, k, v, o, g)
 
 

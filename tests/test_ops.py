@@ -90,7 +90,8 @@ def test_flash_attention_lanes_kernel_matches_xla(h):
 )
 def test_flash_attention_pallas_backward_matches_xla(b, sq, sk, h):
     """The Pallas dq + dk/dv kernels must match XLA attention grads exactly
-    (fp32): this is the O(S)-memory backward that lets 512px training fit."""
+    (fp32): this is the O(S)-memory backward that lets 512px training fit.
+    d=64 routes through the transpose-free lanes backward."""
     d = 64
     kq, kk, kv, kg = jax.random.split(jax.random.PRNGKey(1), 4)
     q = jax.random.normal(kq, (b, sq, h, d))
@@ -108,6 +109,27 @@ def test_flash_attention_pallas_backward_matches_xla(b, sq, sk, h):
     np.testing.assert_allclose(np.asarray(out), np.asarray(out_r), atol=2e-5)
     for a, r in zip(grads, grads_r):
         np.testing.assert_allclose(np.asarray(a), np.asarray(r), atol=2e-5)
+
+
+@pytest.mark.parametrize("h", [1, 2, 5])
+def test_flash_attention_folded_backward_matches_xla(h):
+    """The folded-heads backward (non-64 head dims) stays correct; exercised
+    directly since d=64 routes to the lanes backward."""
+    from animate_anything_tpu.ops.flash_attention import _flash_backward, _flash_forward
+
+    d = 64  # kernels are d-agnostic; folded path tested at d=64 for speed
+    kq, kk, kv, kg = jax.random.split(jax.random.PRNGKey(2), 4)
+    q = jax.random.normal(kq, (1, 256, h, d))
+    k = jax.random.normal(kk, (1, 300, h, d))
+    v = jax.random.normal(kv, (1, 300, h, d))
+    g = jax.random.normal(kg, (1, 256, h, d))
+    _, vjp_r = jax.vjp(lambda q, k, v: jax.nn.dot_product_attention(q, k, v), q, k, v)
+    grads_r = vjp_r(g)
+    with pltpu.force_tpu_interpret_mode():
+        o = _flash_forward(q, k, v)
+        grads = _flash_backward(q, k, v, o, g)
+    for a, r in zip(grads, grads_r):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r), atol=3e-5)
 
 
 def test_group_norm_pick_chunk():
