@@ -44,6 +44,29 @@ def denoise_flops(frames: int, res: int, steps: int) -> float:
     return float(low.cost_analysis()["flops"]) * steps
 
 
+def decode_flops(frames: int, res: int) -> float:
+    """FLOPs of the frame-batched VAE decode that bench.py times alongside
+    the denoise loop (the reference's timed path decodes too:
+    /root/reference/models/pipeline.py:200-205)."""
+    import jax
+    import jax.numpy as jnp
+
+    from animate_anything_tpu.models.vae import (AutoencoderKL, VAEConfig,
+                                                 decode_video)
+
+    hw = res // 8
+    vae = AutoencoderKL(VAEConfig(), dtype=jnp.bfloat16)
+    S = jax.ShapeDtypeStruct
+    vparams = jax.eval_shape(
+        vae.init, jax.random.PRNGKey(0), S((1, res, res, 3), jnp.bfloat16)
+    )
+    lat = S((1, frames, hw, hw, 4), jnp.bfloat16)
+    low = jax.jit(
+        lambda p, x: decode_video(vae, p, x)
+    ).lower(vparams, lat)
+    return float(low.cost_analysis()["flops"])
+
+
 if __name__ == "__main__":
     import argparse
     import os
@@ -57,4 +80,4 @@ if __name__ == "__main__":
     ap.add_argument("--res", type=int, default=512)
     ap.add_argument("--steps", type=int, default=25)
     a = ap.parse_args()
-    print(denoise_flops(a.frames, a.res, a.steps))
+    print(denoise_flops(a.frames, a.res, a.steps) + decode_flops(a.frames, a.res))

@@ -158,3 +158,16 @@ def test_snap_resolution():
     h, w = media.snap_resolution(250, 510)
     assert h % 8 == 0 and w % 8 == 0
     assert abs(h * w - 250 * 510) / (250 * 510) < 0.15
+
+
+def test_flops_accounting():
+    """bench.py's vs_baseline denominator: the FLOP count must cover BOTH
+    phases the benchmark times — the denoise loop and the VAE decode
+    (reference decodes in its timed path too, models/pipeline.py:200-205)."""
+    from animate_anything_tpu.utils import flops as F
+
+    d2 = F.decode_flops(2, 64)
+    d4 = F.decode_flops(4, 64)
+    assert d2 > 0
+    # decode work is per-frame linear
+    assert abs(d4 / d2 - 2.0) < 0.05
