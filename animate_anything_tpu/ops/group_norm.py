@@ -154,12 +154,12 @@ def _pallas_group_norm(x2, scale, bias, groups, eps, silu, ch):
         ),
         grid=(n,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),   # full (n, s, c), sliced by pid
+            pl.BlockSpec(memory_space=pl.ANY),   # full (n, s, c), sliced by pid
             pl.BlockSpec((c,), lambda i: (0,)),
             pl.BlockSpec((c,), lambda i: (0,)),
             pl.BlockSpec((c, groups), lambda i: (0, 0)),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((n, s, c), x2.dtype),
         scratch_shapes=[
             pltpu.VMEM((2, ch, c), x2.dtype),
