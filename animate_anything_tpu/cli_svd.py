@@ -14,7 +14,8 @@ import numpy as np
 
 from animate_anything_tpu.core import AXIS_DATA, Config, create_mesh, load_config
 from animate_anything_tpu.core.dtypes import policy_from_string
-from animate_anything_tpu.data import DataLoader, get_train_dataset
+from animate_anything_tpu.data import DataLoader, extend_datasets, get_train_dataset
+from animate_anything_tpu.data.datasets import ConcatDataset
 from animate_anything_tpu.data.loader import device_prefetch
 from animate_anything_tpu.models.clip_vision import (
     CLIPVisionConfig,
@@ -93,7 +94,15 @@ def main(**cfg_kw) -> str:
     datasets = get_train_dataset(
         list(cfg.get("dataset_types", ["folder"])), dict(cfg.get("train_data", {})), None
     )
-    loader = DataLoader(datasets[0], batch_size=int(cfg.get("train_batch_size", 1)),
+    # secondary dataset groups + length balancing, as in the reference
+    # (/root/reference/train_svd.py:561-575 extra_train_data / extend_dataset)
+    for extra in cfg.get("extra_train_data", []) or []:
+        datasets += get_train_dataset(
+            list(extra.get("dataset_types", [])), dict(extra.get("train_data", {})), None
+        )
+    datasets = extend_datasets(datasets, extend=bool(cfg.get("extend_dataset", False)))
+    dataset = ConcatDataset(datasets) if len(datasets) > 1 else datasets[0]
+    loader = DataLoader(dataset, batch_size=int(cfg.get("train_batch_size", 1)),
                         shuffle=True, seed=seed)
 
     tconf = SVDTrainConfig(
@@ -190,30 +199,83 @@ def main_eval(**cfg_kw) -> dict:
         image_encoder_params=models["image_encoder_params"],
     )
     vd = cfg.get("validation_data", Config())
-    img_path = vd.get("prompt_image")
     h, w = int(vd.get("height", 512)), int(vd.get("width", 512))
-    if img_path and os.path.exists(img_path):
-        image = media.load_image(img_path, size=media.snap_resolution(h, w))
-    else:
-        image = (np.random.default_rng(0).random((h, w, 3)) * 255).astype(np.uint8)
     num_frames = int(vd.get("num_frames", 14))
-    mask = None
-    if motion_mask:
-        mask = jnp.ones((1, 1, image.shape[0] // 8, image.shape[1] // 8, 1))
-    video, latents = pipe(
-        image, mask=mask,
-        num_frames=num_frames,
-        num_inference_steps=int(vd.get("num_inference_steps", 25)),
-        decode_chunk_size=int(vd.get("decode_chunk_size", 0)) or None,
-        fps=int(vd.get("fps", 7)),
-        motion_bucket_id=int(vd.get("motion_bucket_id", 127)),
-        rng=jax.random.PRNGKey(int(cfg.get("seed") or 0)),
-    )
-    frames = media.to_uint8(np.asarray(video[0]))
-    path = media.save_gif(os.path.join(out_dir, "svd_sample.gif"), frames,
-                          fps=int(vd.get("fps", 7)))
-    print({"sample_path": path})
-    return {"sample_path": path}
+
+    # eval_file: JSON list of [image, prompt] pairs, `iters` samples each
+    # (reference batch-eval surface, /root/reference/train_svd.py:810-826)
+    eval_file = cfg.get("eval_file")
+    if eval_file:
+        import json as _json
+
+        with open(eval_file) as f:
+            eval_list = _json.load(f)
+        iters = int(cfg.get("iters", 5))
+    else:
+        eval_list = [[vd.get("prompt_image"), vd.get("prompt", "")]]
+        iters = 1
+
+    def sample_one(img_path, seed, out_stem=None):
+        if img_path and os.path.exists(img_path):
+            # area-preserving rescale of the image's NATIVE aspect to the
+            # validation area, snapped to 64-multiples (reference
+            # train_svd.py:739-742, block_size=64)
+            from PIL import Image as _Image
+
+            with _Image.open(img_path) as im:
+                nw, nh = im.size
+            scale = float(np.sqrt(nw * nh / (h * w)))
+            th = max(64, round(nh / scale / 64) * 64)
+            tw = max(64, round(nw / scale / 64) * 64)
+            image = media.load_image(img_path, size=(th, tw))
+        else:
+            image = (np.random.default_rng(0).random((h, w, 3)) * 255).astype(np.uint8)
+        mask = None
+        if motion_mask:
+            lh, lw = image.shape[0] // 8, image.shape[1] // 8
+            # sidecar motion mask: <image>_label.jpg, binarized, else all-ones
+            # (reference train_svd.py:744-753)
+            label_path = img_path.split(".")[0] + "_label.jpg" if img_path else ""
+            if label_path and os.path.exists(label_path):
+                np_mask = media.load_image(label_path)[..., 0]
+                np_mask = (np_mask != 0).astype(np.float32)
+                if out_stem:
+                    media.save_image(out_stem + "_mask.jpg",
+                                     (np_mask * 255).astype(np.uint8))
+                from PIL import Image as _Image
+
+                m = _Image.fromarray((np_mask * 255).astype(np.uint8))
+                np_mask = np.asarray(m.resize((lw, lh), _Image.NEAREST)) / 255.0
+                mask = jnp.asarray(np_mask, jnp.float32)[None, None, :, :, None]
+            else:
+                mask = jnp.ones((1, 1, lh, lw, 1))
+        video, _latents = pipe(
+            image, mask=mask,
+            num_frames=num_frames,
+            num_inference_steps=int(vd.get("num_inference_steps", 25)),
+            decode_chunk_size=int(vd.get("decode_chunk_size", 0)) or None,
+            fps=int(vd.get("fps", 7)),
+            motion_bucket_id=int(vd.get("motion_bucket_id", 127)),
+            rng=jax.random.PRNGKey(seed),
+        )
+        return media.to_uint8(np.asarray(video[0]))
+
+    base_seed = int(cfg.get("seed") or 0)
+    paths = []
+    for name, _prompt in eval_list:
+        stem = os.path.splitext(os.path.basename(name))[0] if name else "svd_sample"
+        sub = os.path.join(out_dir, stem) if eval_file else out_dir
+        os.makedirs(sub, exist_ok=True)
+        for t in range(iters):
+            fname = f"{t}.gif" if eval_file else "svd_sample.gif"
+            out_path = os.path.join(sub, fname)
+            frames = sample_one(name, base_seed + t,
+                                out_stem=os.path.splitext(out_path)[0])
+            path = media.save_gif(out_path, frames, fps=int(vd.get("fps", 7)))
+            print("save file", path)
+            paths.append(path)
+    print({"sample_path": paths[-1]})
+    return {"sample_path": paths[-1], "sample_paths": paths}
 
 
 def cli(argv=None) -> None:

@@ -74,7 +74,14 @@ class Config(dict):
         return self
 
     def to_dict(self) -> dict:
-        return {k: (v.to_dict() if isinstance(v, Config) else v) for k, v in self.items()}
+        def unwrap(v: Any) -> Any:
+            if isinstance(v, Config):
+                return v.to_dict()
+            if isinstance(v, list):
+                return [unwrap(x) for x in v]
+            return v
+
+        return {k: unwrap(v) for k, v in self.items()}
 
     def save(self, path: str) -> None:
         with open(path, "w") as f:

@@ -29,6 +29,11 @@ def load_image(path: str, size: tuple[int, int] | None = None) -> np.ndarray:
     return np.asarray(img)
 
 
+def save_image(path: str, arr: np.ndarray) -> str:
+    Image.fromarray(np.asarray(arr)).save(path)
+    return path
+
+
 def load_image_rgba(path: str, size: tuple[int, int] | None = None) -> np.ndarray:
     img = Image.open(path).convert("RGBA")
     if size is not None:

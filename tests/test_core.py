@@ -46,6 +46,21 @@ def test_config_yaml_roundtrip(tmp_path):
     assert cfg2.to_dict() == cfg.to_dict()
 
 
+def test_config_save_with_dicts_in_lists(tmp_path):
+    """Mappings nested inside lists (e.g. extra_train_data) wrap to Config on
+    set and must unwrap again for yaml.safe_dump."""
+    from animate_anything_tpu.core.config import Config
+
+    cfg = Config({"extra_train_data": [
+        {"dataset_types": ["folder"], "train_data": {"path": "/x"}},
+    ]})
+    out = tmp_path / "c.yaml"
+    cfg.save(str(out))
+    cfg2 = load_config(str(out))
+    assert cfg2.to_dict() == cfg.to_dict()
+    assert cfg2.extra_train_data[0].train_data.path == "/x"
+
+
 def test_config_merge_deep():
     a = Config({"x": {"y": 1, "z": 2}})
     a.merge({"x": {"y": 10}, "w": 3})
