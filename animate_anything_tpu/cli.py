@@ -66,7 +66,16 @@ def run_validation(models, validation_data: Config, output_dir: str, step: int,
     h = int(vd.get("height", 512))
     w = int(vd.get("width", 512))
     if img_path and os.path.exists(img_path):
-        image = media.load_image(img_path, size=media.snap_resolution(h, w))
+        # reference: rescale the image's NATIVE aspect to the validation
+        # area, snapped to /8 (train.py:741-744) — not the config dims
+        from PIL import Image as _Image
+
+        with _Image.open(img_path) as im:
+            nw, nh = im.size
+        scale = float(np.sqrt(nw * nh / (h * w)))
+        th = max(8, round(nh / scale / 8) * 8)
+        tw = max(8, round(nw / scale / 8) * 8)
+        image = media.load_image(img_path, size=(th, tw))
     else:
         image = (np.random.default_rng(0).random((h // 8 * 8, w // 8 * 8, 3)) * 255).astype(np.uint8)
 
@@ -78,6 +87,7 @@ def run_validation(models, validation_data: Config, output_dir: str, step: int,
             if mask_path.endswith(".json")
             else np.asarray(media.load_image(mask_path, image.shape[:2]))[..., 0]
         )
+        mask_img = np.where(mask_img != 0, 255, 0).astype(np.uint8)
     elif motion_mask:
         mask_img = np.full(image.shape[:2], 255, np.uint8)
 
@@ -85,7 +95,9 @@ def run_validation(models, validation_data: Config, output_dir: str, step: int,
         image,
         vd.get("prompt", ""),
         mask_img=mask_img,
-        motion_strength=float(vd.get("strength", 5)) if motion_strength else None,
+        # reference default sweeps strength = index+3 across eval iters
+        # (train.py:766: validation_data.get("strength", index+3))
+        motion_strength=float(vd.get("strength", step + 3)) if motion_strength else None,
         num_frames=int(vd.get("num_frames", 16)),
         num_inference_steps=int(vd.get("num_inference_steps", 25)),
         guidance_scale=float(vd.get("guidance_scale", 9)),
@@ -94,6 +106,11 @@ def run_validation(models, validation_data: Config, output_dir: str, step: int,
     frames = media.to_uint8(np.asarray(video[0]))
     out = os.path.join(output_dir, "samples", f"step_{step}.gif")
     media.save_gif(out, frames, fps=int(vd.get("fps", 8)))
+    # gif + mp4 + mask sidecars, as the reference writes (train.py:757-785)
+    media.save_video(os.path.splitext(out)[0] + ".mp4", frames,
+                     fps=int(vd.get("fps", 8)))
+    if mask_img is not None:
+        media.save_image(os.path.splitext(out)[0] + "_mask.jpg", mask_img)
 
     metrics: dict[str, Any] = {"sample_path": out}
     if mask_img is not None:
@@ -189,16 +206,34 @@ def main(**cfg_kw) -> str:
     )
     mesh = create_mesh({AXIS_DATA: int(cfg.get("mesh", {}).get("data", -1))})
 
-    # LoRA: the train state holds only the adapter tree (reference
-    # train_lora.py workload; both backends' capabilities in models/lora.py)
-    use_lora = bool(cfg.get("use_unet_lora", False))
-    lora_cfg = None
-    if use_lora:
+    # LoRA: the train state holds only the adapter tree(s) (reference
+    # train_lora.py workload; both backends' capabilities in models/lora.py).
+    # use_text_lora additionally adapts the CLIP text encoder (reference
+    # train_lora.py:392-484, text_encoder_lora_modules).
+    use_unet_lora = bool(cfg.get("use_unet_lora", False))
+    use_text_lora = bool(cfg.get("use_text_lora", False))
+    use_lora = use_unet_lora or use_text_lora
+    lora_cfg = text_lora_cfg = None
+    if use_unet_lora:
         lora_cfg = LoraConfig(
             rank=int(cfg.get("lora_rank", 16)),
             targets=tuple(cfg.get("unet_lora_modules", ["UNet3DConditionModel"])),
             include_convs=bool(cfg.get("lora_include_convs", False)),
         )
+    if use_text_lora:
+        text_lora_cfg = LoraConfig(
+            rank=int(cfg.get("lora_rank", 16)),
+            targets=tuple(cfg.get("text_encoder_lora_modules", ["CLIPEncoderLayer"])),
+        )
+    if use_text_lora:
+        lora_tree = {}
+        if use_unet_lora:
+            lora_tree["unet_lora"] = init_lora_params(
+                jax.random.PRNGKey(seed + 7), models["unet_params"], lora_cfg)
+        lora_tree["text_lora"] = init_lora_params(
+            jax.random.PRNGKey(seed + 8), models["text_params"], text_lora_cfg)
+        state = create_train_state(lora_tree, tconf)
+    elif use_unet_lora:
         lora_tree = init_lora_params(jax.random.PRNGKey(seed + 7),
                                      models["unet_params"], lora_cfg)
         state = create_train_state(lora_tree, tconf)
@@ -223,7 +258,9 @@ def main(**cfg_kw) -> str:
 
         raw_step = make_lora_train_step(
             models["unet"], models["schedule"], tconf,
-            base_params=models["unet_params"], lora_config=lora_cfg, **model_kw,
+            base_params=models["unet_params"], lora_config=lora_cfg,
+            text_base_params=models["text_params"] if use_text_lora else None,
+            text_lora_config=text_lora_cfg, **model_kw,
         )
     else:
         raw_step = make_train_step(models["unet"], models["schedule"], tconf, **model_kw)
@@ -256,10 +293,21 @@ def main(**cfg_kw) -> str:
             if global_step % ckpt_steps == 0 or global_step >= max_steps:
                 save_checkpoint(os.path.join(run_dir, "ckpt"), state)
                 if use_lora:
-                    save_lora(
-                        os.path.join(run_dir, f"lora_step_{global_step}.safetensors"),
-                        jax.device_get(state.params), lora_cfg,
-                    )
+                    p = jax.device_get(state.params)
+                    if use_unet_lora:
+                        save_lora(
+                            os.path.join(run_dir, f"lora_step_{global_step}.safetensors"),
+                            p["unet_lora"] if use_text_lora else p, lora_cfg,
+                        )
+                    if use_text_lora:
+                        # reference lora_handler saves a separate
+                        # text_encoder adapter file (lora_handler.py:334-350)
+                        save_lora(
+                            os.path.join(
+                                run_dir,
+                                f"lora_step_{global_step}.text_encoder.safetensors"),
+                            p["text_lora"], text_lora_cfg, prefix="text_encoder",
+                        )
                 if not use_lora and bool(cfg.get("save_pretrained_model", True)):
                     save_pipeline(
                         os.path.join(run_dir, f"pipeline_step_{global_step}"),
@@ -270,12 +318,21 @@ def main(**cfg_kw) -> str:
                         text_config=models["text_config"],
                     )
             if sample_preview and (global_step % val_steps == 0 or global_step == 5):
-                current = (
-                    merge_lora(models["unet_params"], state.params, lora_cfg,
-                               stop_base_gradient=False)
-                    if use_lora else state.params
-                )
-                models_now = dict(models, unet_params=current)
+                if use_lora:
+                    p = state.params
+                    current = (
+                        merge_lora(models["unet_params"],
+                                   p["unet_lora"] if use_text_lora else p,
+                                   lora_cfg, stop_base_gradient=False)
+                        if use_unet_lora else models["unet_params"]
+                    )
+                    models_now = dict(models, unet_params=current)
+                    if use_text_lora:
+                        models_now["text_params"] = merge_lora(
+                            models["text_params"], p["text_lora"],
+                            text_lora_cfg, stop_base_gradient=False)
+                else:
+                    models_now = dict(models, unet_params=state.params)
                 vm = run_validation(models_now, cfg.validation_data, run_dir,
                                     global_step, motion_mask, motion_strength)
                 logger.log(global_step, {k: v for k, v in vm.items()
@@ -310,6 +367,17 @@ def main_eval(**cfg_kw) -> dict:
         lora_tree, lcfg = load_lora(lora_path)
         models["unet_params"] = merge_lora(
             models["unet_params"], lora_tree, lcfg, stop_base_gradient=False
+        )
+    # text-encoder adapter: explicit path, or the sibling file the trainer
+    # writes next to the unet adapter (use_text_lora)
+    text_lora_path = cfg.get("lora_text_path")
+    if not text_lora_path and lora_path:
+        cand = os.path.splitext(lora_path)[0] + ".text_encoder.safetensors"
+        text_lora_path = cand if os.path.exists(cand) else None
+    if text_lora_path:
+        tl_tree, tl_cfg = load_lora(text_lora_path, prefix="text_encoder")
+        models["text_params"] = merge_lora(
+            models["text_params"], tl_tree, tl_cfg, stop_base_gradient=False
         )
     iters = int(cfg.get("eval_iters", 1))
     precisions = []

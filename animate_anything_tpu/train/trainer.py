@@ -151,12 +151,16 @@ def make_train_step(
     text_encoder=None,
     text_params=None,
     param_transform: Optional[Callable] = None,
+    text_param_transform: Optional[Callable] = None,
 ) -> Callable:
     """Returns train_step(state, batch, rng) → (state, metrics).
 
     param_transform: optional pure map from the *trainable* tree to the model
     params (LoRA: state holds the adapter tree, transform merges it into the
     frozen base — see make_lora_train_step).
+    text_param_transform: same, for the text-encoder params (text LoRA,
+    reference use_text_lora — train_lora.py:392-484). When set, prompts MUST
+    arrive as token ids (cached embeds would bypass the trained adapter).
 
     batch keys (all device arrays):
     - 'pixel_values' (b,f,H,W,3) in [-1,1]  OR 'latents' (b,f,h,w,4) if cached
@@ -168,6 +172,7 @@ def make_train_step(
     use_offset = config.use_offset_noise and not config.rescale_schedule
 
     def loss_fn(params, batch, rng):
+        raw_params = params
         if param_transform is not None:
             params = param_transform(params)
         r_noise, r_t, r_drop = jax.random.split(rng, 3)
@@ -193,12 +198,21 @@ def make_train_step(
         t = jax.random.randint(r_t, (b,), 0, schedule.num_train_timesteps)
         noisy = add_noise(schedule, latents, noise, t)
 
-        if "encoder_hidden_states" in batch:
+        if "encoder_hidden_states" in batch and text_param_transform is None:
             embeds = batch["encoder_hidden_states"]
             uncond = batch["uncond_hidden_states"]
         else:
-            embeds = text_encoder.apply(text_params, batch["prompt_ids"])
-            uncond = text_encoder.apply(text_params, batch["uncond_ids"])
+            if text_param_transform is not None:
+                if "prompt_ids" not in batch:
+                    raise ValueError(
+                        "text LoRA needs token ids in the batch; cached text "
+                        "embeddings would bypass the trained adapter"
+                    )
+                tparams = text_param_transform(raw_params)
+            else:
+                tparams = text_params
+            embeds = text_encoder.apply(tparams, batch["prompt_ids"])
+            uncond = text_encoder.apply(tparams, batch["uncond_ids"])
         # whole-batch conditioning dropout (reference flips the entire batch
         # with python random < 0.15, train.py:716)
         drop = jax.random.bernoulli(r_drop, config.text_dropout)
@@ -243,18 +257,39 @@ def make_lora_train_step(
     config: TrainConfig,
     base_params,
     lora_config,
+    text_base_params=None,
+    text_lora_config=None,
     **model_kw,
 ) -> Callable:
-    """LoRA training: the TrainState holds ONLY the adapter tree; the frozen
-    base params are closed over (constants in the compiled program) and the
-    merge W+(α/r)BA happens inside the jitted loss (reference workload:
-    /root/reference/train_lora.py:461-476 + utils/lora_handler.py)."""
+    """LoRA training: the TrainState holds ONLY the adapter tree(s); the
+    frozen base params are closed over (constants in the compiled program)
+    and the merge W+(α/r)BA happens inside the jitted loss (reference
+    workload: /root/reference/train_lora.py:461-476 + utils/lora_handler.py).
+
+    UNet-only (text_lora_config None): state.params IS the unet adapter tree
+    (back-compat). With text LoRA (reference use_text_lora): state.params =
+    {"unet_lora": ..., "text_lora": ...}; either key may be absent when only
+    one model is adapted."""
     from animate_anything_tpu.models.lora import merge_lora
 
-    def transform(lora_tree):
-        return merge_lora(base_params, lora_tree, lora_config)
+    if text_lora_config is None:
+        def transform(lora_tree):
+            return merge_lora(base_params, lora_tree, lora_config)
+
+        return make_train_step(
+            unet, schedule, config, param_transform=transform, **model_kw
+        )
+
+    def transform(tree):
+        if lora_config is None or "unet_lora" not in tree:
+            return jax.tree_util.tree_map(jax.lax.stop_gradient, base_params)
+        return merge_lora(base_params, tree["unet_lora"], lora_config)
+
+    def text_transform(tree):
+        return merge_lora(text_base_params, tree["text_lora"], text_lora_config)
 
     return make_train_step(
-        unet, schedule, config, param_transform=transform, **model_kw
+        unet, schedule, config, param_transform=transform,
+        text_param_transform=text_transform, **model_kw
     )
 

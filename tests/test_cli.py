@@ -109,3 +109,41 @@ def test_cli_arg_surface(workdir, tmp_path, capsys):
     runs = sorted((tmp_path / "out3").iterdir())
     lines = [json.loads(l) for l in open(os.path.join(runs[-1], "train_log.jsonl"))]
     assert max(l["step"] for l in lines) == 1
+
+
+def test_lora_cli_text_and_unet(workdir, tmp_path):
+    """use_unet_lora + use_text_lora (reference train_lora.py surface): both
+    adapter files saved; eval merges both back."""
+    import glob
+
+    cfg = _train_cfg(workdir, tmp_path / "out_lora")
+    cfg.update(
+        use_unet_lora=True,
+        use_text_lora=True,
+        lora_rank=2,
+        unet_lora_modules=["CrossAttention"],
+        save_pretrained_model=False,
+        max_train_steps=2,
+        checkpointing_steps=2,
+    )
+    run_dir = cli.main(**cfg)
+    unet_files = [f for f in glob.glob(os.path.join(run_dir, "lora_step_*.safetensors"))
+                  if not f.endswith(".text_encoder.safetensors")]
+    text_files = glob.glob(os.path.join(run_dir, "lora_step_*.text_encoder.safetensors"))
+    assert unet_files and text_files
+
+    metrics = cli.main_eval(
+        output_dir=str(tmp_path / "eval_lora"),
+        model_size="tiny",
+        mixed_precision="no",
+        motion_mask=True,
+        motion_strength=True,
+        lora_path=unet_files[0],   # .text_encoder sibling is found implicitly
+        validation_data=dict(
+            prompt="a red square moves",
+            prompt_image=str(workdir / "prompt.png"),
+            width=32, height=32, num_frames=4, num_inference_steps=2,
+            guidance_scale=9, strength=4,
+        ),
+    )
+    assert os.path.exists(metrics["sample_path"])

@@ -118,3 +118,87 @@ def test_lora_scale_and_collapse(unet_setup):
         np.asarray(unet.apply(zero, *args)), np.asarray(out_base), atol=1e-6
     )
     assert float(jnp.abs(unet.apply(merged, *args) - out_base).max()) > 1e-6
+
+
+def test_text_lora_train_step_and_persistence(tmp_path):
+    """use_text_lora (reference train_lora.py:392-484): the text-encoder
+    adapter trains through the prompt-ids path, merges into the text params,
+    and round-trips through the text_encoder-prefixed safetensors file."""
+    from animate_anything_tpu.models.factory import build_models
+
+    models = build_models(None, motion_mask=True, motion_strength=True,
+                          model_size="tiny")
+    unet, uparams = models["unet"], models["unet_params"]
+    text, tparams = models["text"], models["text_params"]
+
+    lcfg = LoraConfig(rank=4, targets=("CrossAttention",))
+    tcfg = LoraConfig(rank=4, targets=("CLIPEncoderLayer",))
+    tree = {
+        "unet_lora": init_lora_params(jax.random.PRNGKey(0), uparams, lcfg),
+        "text_lora": init_lora_params(jax.random.PRNGKey(1), tparams, tcfg),
+    }
+    assert all("layers_" in k for k in tree["text_lora"])
+
+    tconf = TrainConfig(motion_mask=True, motion_strength=True, cache_latents=True,
+                        learning_rate=1e-2, adam_weight_decay=0.0)
+    step = jax.jit(make_lora_train_step(
+        unet, models["schedule"], tconf, base_params=uparams, lora_config=lcfg,
+        text_base_params=tparams, text_lora_config=tcfg,
+        text_encoder=text, text_params=tparams,
+    ))
+    state = create_train_state(tree, tconf)
+    ids = jnp.asarray(models["tokenizer"](["a cat moves"], padding="max_length",
+                                          max_length=77).input_ids)
+    batch = {
+        "latents": jax.random.normal(jax.random.PRNGKey(1), (1, 2, 2, 2, 4)),
+        "mask": jnp.full((1, 16, 16), 255.0),
+        "prompt_ids": ids,
+        "uncond_ids": jnp.asarray(models["tokenizer"]("", padding="max_length",
+                                                      max_length=77).input_ids),
+    }
+    new_state, metrics = step(state, batch, jax.random.PRNGKey(3))
+    assert np.isfinite(float(metrics["loss"]))
+    text_up = sum(float(jnp.abs(ab["up"]).sum())
+                  for ab in new_state.params["text_lora"].values())
+    assert text_up > 0  # gradient reached the text adapter
+
+    merged = merge_lora(tparams, new_state.params["text_lora"], tcfg,
+                        stop_base_gradient=False)
+    e0 = text.apply(tparams, ids)
+    e1 = text.apply(merged, ids)
+    assert float(jnp.abs(e1 - e0).max()) > 0
+
+    # persistence under the text_encoder prefix
+    p = save_lora(str(tmp_path / "l.text_encoder.safetensors"),
+                  jax.device_get(new_state.params["text_lora"]), tcfg,
+                  prefix="text_encoder")
+    back, bcfg = load_lora(p, prefix="text_encoder")
+    assert set(back) == set(new_state.params["text_lora"])
+    assert bcfg.rank == 4
+
+
+def test_text_lora_rejects_cached_embeds():
+    """Cached text embeddings must not silently bypass the text adapter."""
+    from animate_anything_tpu.models.factory import build_models
+
+    models = build_models(None, motion_mask=True, motion_strength=True,
+                          model_size="tiny")
+    tcfg = LoraConfig(rank=2, targets=("CLIPEncoderLayer",))
+    tree = {"text_lora": init_lora_params(
+        jax.random.PRNGKey(0), models["text_params"], tcfg)}
+    tconf = TrainConfig(motion_mask=True, cache_latents=True)
+    step = make_lora_train_step(
+        models["unet"], models["schedule"], tconf,
+        base_params=models["unet_params"], lora_config=None,
+        text_base_params=models["text_params"], text_lora_config=tcfg,
+        text_encoder=models["text"], text_params=models["text_params"],
+    )
+    state = create_train_state(tree, tconf)
+    batch = {
+        "latents": jnp.zeros((1, 2, 2, 2, 4)),
+        "mask": jnp.full((1, 16, 16), 255.0),
+        "encoder_hidden_states": jnp.zeros((1, 77, 32)),
+        "uncond_hidden_states": jnp.zeros((1, 77, 32)),
+    }
+    with pytest.raises(ValueError, match="text LoRA"):
+        step(state, batch, jax.random.PRNGKey(0))
