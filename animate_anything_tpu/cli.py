@@ -219,11 +219,13 @@ def main(**cfg_kw) -> str:
             rank=int(cfg.get("lora_rank", 16)),
             targets=tuple(cfg.get("unet_lora_modules", ["UNet3DConditionModel"])),
             include_convs=bool(cfg.get("lora_include_convs", False)),
+            dropout=float(cfg.get("lora_unet_dropout", 0.0)),
         )
     if use_text_lora:
         text_lora_cfg = LoraConfig(
             rank=int(cfg.get("lora_rank", 16)),
             targets=tuple(cfg.get("text_encoder_lora_modules", ["CLIPEncoderLayer"])),
+            dropout=float(cfg.get("lora_text_dropout", 0.0)),
         )
     if use_text_lora:
         lora_tree = {}

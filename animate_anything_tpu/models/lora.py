@@ -53,6 +53,13 @@ class LoraConfig:
     alpha: Optional[float] = None        # defaults to rank (scale 1)
     targets: Tuple[str, ...] = ("CrossAttention",)
     include_convs: bool = False
+    # train-time adapter dropout (reference lora_unet_dropout /
+    # lora_text_dropout). The reference drops the down-projection's per-token
+    # activations (utils/lora.py:33-110); the merged W+BA formulation cannot
+    # express per-token dropout, so the analog here drops whole RANK
+    # components per step (inverted scaling 1/(1-p)) — same regularization
+    # target (the adapter), exactly zero at eval/merge time.
+    dropout: float = 0.0
 
     @property
     def scale(self) -> float:
@@ -130,6 +137,23 @@ def merge_lora(params: Any, lora: Dict[str, Any], cfg: LoraConfig,
 
     new_tree = jax.tree_util.tree_map_with_path(visit, tree)
     return {"params": new_tree} if has_wrapper else new_tree
+
+
+def dropout_lora(rng: jax.Array, lora: Dict[str, Any], cfg: LoraConfig) -> Dict[str, Any]:
+    """Rank-component dropout for training steps (see LoraConfig.dropout).
+
+    Each adapter independently keeps rank column r with prob 1-p; kept
+    columns are scaled by 1/(1-p) so the merged delta is unbiased."""
+    if not cfg.dropout:
+        return lora
+    keep_p = 1.0 - cfg.dropout
+    out: Dict[str, Any] = {}
+    for ps in sorted(lora):
+        rng, sub = jax.random.split(rng)
+        keep = jax.random.bernoulli(sub, keep_p, (cfg.rank,))
+        m = keep.astype(jnp.float32) / keep_p
+        out[ps] = {"down": lora[ps]["down"] * m[None, :], "up": lora[ps]["up"]}
+    return out
 
 
 # --------------------------------------------------------------------------

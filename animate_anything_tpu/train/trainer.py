@@ -152,6 +152,7 @@ def make_train_step(
     text_params=None,
     param_transform: Optional[Callable] = None,
     text_param_transform: Optional[Callable] = None,
+    trainable_transform: Optional[Callable] = None,
 ) -> Callable:
     """Returns train_step(state, batch, rng) → (state, metrics).
 
@@ -172,6 +173,10 @@ def make_train_step(
     use_offset = config.use_offset_noise and not config.rescale_schedule
 
     def loss_fn(params, batch, rng):
+        rng, r_train = jax.random.split(rng)
+        if trainable_transform is not None:
+            # per-step stochastic view of the trainable tree (LoRA dropout)
+            params = trainable_transform(params, r_train)
         raw_params = params
         if param_transform is not None:
             params = param_transform(params)
@@ -270,14 +275,20 @@ def make_lora_train_step(
     (back-compat). With text LoRA (reference use_text_lora): state.params =
     {"unet_lora": ..., "text_lora": ...}; either key may be absent when only
     one model is adapted."""
-    from animate_anything_tpu.models.lora import merge_lora
+    from animate_anything_tpu.models.lora import dropout_lora, merge_lora
 
     if text_lora_config is None:
         def transform(lora_tree):
             return merge_lora(base_params, lora_tree, lora_config)
 
+        trainable = None
+        if lora_config.dropout:
+            def trainable(tree, rng):
+                return dropout_lora(rng, tree, lora_config)
+
         return make_train_step(
-            unet, schedule, config, param_transform=transform, **model_kw
+            unet, schedule, config, param_transform=transform,
+            trainable_transform=trainable, **model_kw
         )
 
     def transform(tree):
@@ -288,8 +299,20 @@ def make_lora_train_step(
     def text_transform(tree):
         return merge_lora(text_base_params, tree["text_lora"], text_lora_config)
 
+    trainable = None
+    if (lora_config is not None and lora_config.dropout) or text_lora_config.dropout:
+        def trainable(tree, rng):
+            r_u, r_t = jax.random.split(rng)
+            out = dict(tree)
+            if lora_config is not None and "unet_lora" in tree and lora_config.dropout:
+                out["unet_lora"] = dropout_lora(r_u, tree["unet_lora"], lora_config)
+            if text_lora_config.dropout:
+                out["text_lora"] = dropout_lora(r_t, tree["text_lora"], text_lora_config)
+            return out
+
     return make_train_step(
         unet, schedule, config, param_transform=transform,
-        text_param_transform=text_transform, **model_kw
+        text_param_transform=text_transform, trainable_transform=trainable,
+        **model_kw
     )
 

@@ -202,3 +202,45 @@ def test_text_lora_rejects_cached_embeds():
     }
     with pytest.raises(ValueError, match="text LoRA"):
         step(state, batch, jax.random.PRNGKey(0))
+
+
+def test_lora_rank_dropout():
+    """dropout_lora: per-rank-column inverted dropout, unbiased, identity at
+    p=0 (train-only analog of reference lora_unet_dropout/lora_text_dropout)."""
+    from animate_anything_tpu.models.lora import dropout_lora
+
+    cfg = LoraConfig(rank=8, dropout=0.5, targets=("CrossAttention",))
+    lora = {"x.kernel": {"down": jnp.ones((4, 8)), "up": jnp.ones((8, 4))}}
+    d = dropout_lora(jax.random.PRNGKey(0), lora, cfg)
+    col = np.asarray(d["x.kernel"]["down"])[0]
+    assert set(np.round(col, 4).tolist()) <= {0.0, 2.0}   # kept cols scaled 1/(1-p)
+    np.testing.assert_array_equal(np.asarray(d["x.kernel"]["up"]),
+                                  np.asarray(lora["x.kernel"]["up"]))
+    means = [float(np.asarray(
+        dropout_lora(jax.random.PRNGKey(i), lora, cfg)["x.kernel"]["down"]).mean())
+        for i in range(200)]
+    assert abs(np.mean(means) - 1.0) < 0.1                # unbiased in expectation
+    assert dropout_lora(jax.random.PRNGKey(0), lora,
+                        LoraConfig(rank=8, dropout=0.0)) is lora
+
+
+def test_lora_train_step_with_dropout(unet_setup):
+    unet, params, _ = unet_setup
+    lcfg = LoraConfig(rank=4, targets=("CrossAttention",), dropout=0.25)
+    lora = init_lora_params(jax.random.PRNGKey(0), params, lcfg)
+    tconf = TrainConfig(motion_mask=True, motion_strength=True, cache_latents=True,
+                        learning_rate=1e-2, adam_weight_decay=0.0)
+    step = jax.jit(make_lora_train_step(
+        unet, make_schedule(), tconf, base_params=params, lora_config=lcfg,
+    ))
+    state = create_train_state(lora, tconf)
+    batch = {
+        "latents": jax.random.normal(jax.random.PRNGKey(1), (1, 2, 2, 2, 4)),
+        "mask": jnp.full((1, 16, 16), 255.0),
+        "encoder_hidden_states": jax.random.normal(jax.random.PRNGKey(2), (1, 7, 32)),
+        "uncond_hidden_states": jnp.zeros((1, 7, 32)),
+    }
+    new_state, metrics = step(state, batch, jax.random.PRNGKey(3))
+    assert np.isfinite(float(metrics["loss"]))
+    up_norm = sum(float(jnp.abs(ab["up"]).sum()) for ab in new_state.params.values())
+    assert up_norm > 0
