@@ -197,6 +197,7 @@ def main(**cfg_kw) -> str:
         max_grad_norm=float(cfg.get("max_grad_norm", 1.0)),
         gradient_accumulation_steps=int(cfg.get("gradient_accumulation_steps", 1)),
         trainable_modules=tuple(cfg.get("trainable_modules", ["all"])),
+        not_trainable_modules=tuple(cfg.get("not_trainable_modules", [])),
         motion_mask=motion_mask,
         motion_strength=motion_strength,
         use_offset_noise=bool(cfg.get("use_offset_noise", False)),

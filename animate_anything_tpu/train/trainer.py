@@ -54,6 +54,7 @@ class TrainConfig:
     max_grad_norm: float = 1.0
     gradient_accumulation_steps: int = 1
     trainable_modules: Tuple[str, ...] = ("all",)
+    not_trainable_modules: Tuple[str, ...] = ()
     text_dropout: float = 0.15
     motion_mask: bool = False
     motion_strength: bool = False
@@ -79,14 +80,20 @@ class TrainState(flax.struct.PyTreeNode):
         )
 
 
-def trainable_label_tree(params: Any, trainable_modules: Tuple[str, ...]) -> Any:
+def trainable_label_tree(params: Any, trainable_modules: Tuple[str, ...],
+                         not_trainable_modules: Tuple[str, ...] = ()) -> Any:
     """'train'/'freeze' labels by path-substring match — same semantics as the
     reference's handle_trainable_modules ('all' unfreezes everything; a module
     is trainable if any pattern is a substring of its dotted path; 'lora'
-    paths are excluded from substring matching, train.py:246)."""
+    paths are excluded from substring matching, train.py:246).
+    not_trainable_modules is the stage-2 trainer's deny-list, applied AFTER
+    the allow-list (train_transparent_i2v_stage2.py:279-302)."""
 
     def label(path, _):
         p = ".".join(str(getattr(k, "key", k)) for k in path)
+        for tm in not_trainable_modules:
+            if tm in p:
+                return "freeze"
         for tm in trainable_modules:
             if tm == "all":
                 return "train"
@@ -119,7 +126,8 @@ def make_optimizer(config: TrainConfig, params: Any) -> optax.GradientTransforma
             weight_decay=config.adam_weight_decay,
         )
     adamw = optax.chain(optax.clip_by_global_norm(config.max_grad_norm), inner)
-    labels = trainable_label_tree(params, config.trainable_modules)
+    labels = trainable_label_tree(params, config.trainable_modules,
+                                  config.not_trainable_modules)
     tx = optax.multi_transform({"train": adamw, "freeze": optax.set_to_zero()}, labels)
     if config.gradient_accumulation_steps > 1:
         tx = optax.MultiSteps(tx, config.gradient_accumulation_steps)

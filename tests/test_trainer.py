@@ -93,6 +93,13 @@ def test_trainable_label_tree_substring():
     assert trainables and all("conv_out" in t for t in trainables)
     labels_all = trainable_label_tree(state.params, ("all",))
     assert all(v == "train" for _, v in jax.tree_util.tree_leaves_with_path(labels_all))
+    # deny-list wins over the allow-list (stage-2 not_trainable_modules,
+    # reference train_transparent_i2v_stage2.py:279-302)
+    labels_deny = trainable_label_tree(state.params, ("all",), ("conv_out",))
+    flat_deny = jax.tree_util.tree_leaves_with_path(labels_deny)
+    frozen = ["/".join(str(k) for k in p) for p, v in flat_deny if v == "freeze"]
+    assert frozen and all("conv_out" in t for t in frozen)
+    assert any(v == "train" for _, v in flat_deny)
 
 
 def test_freezing_only_updates_selected_modules():
