@@ -203,11 +203,49 @@ def controller_generate_fn(controller) -> Callable[[Dict[str, Any]], str]:
     return generate
 
 
+def svd_controller_generate_fn(controller) -> Callable[[Dict[str, Any]], str]:
+    """Route requests through app_svd.AnimateController (SVD i2v/v2v;
+    mask routing by in_channels==9, per-frame linspace CFG)."""
+
+    def generate(req: Dict[str, Any]) -> str:
+        image = _decode_image(req, "image")
+        if image is None:
+            raise ValueError("request needs image_b64 or image_path")
+        mask = _decode_image(req, "mask")
+        return controller.animate(
+            image[..., :3],
+            mask_img=mask[..., 0] if mask is not None else None,
+            steps=int(req.get("sample_steps", 25)),
+            min_cfg=float(req.get("min_cfg", 1.0)),
+            max_cfg=float(req.get("max_cfg", req.get("cfg_scale", 3.0))),
+            seed=int(req.get("seed", 0)),
+        )
+
+    return generate
+
+
+def multi_workload_generate_fn(
+    routes: Dict[str, Callable[[Dict[str, Any]], str]]
+) -> Callable[[Dict[str, Any]], str]:
+    """Dispatch on request['workload'] (default 'latent') — one server
+    fronting several model families."""
+
+    def generate(req: Dict[str, Any]) -> str:
+        w = str(req.get("workload", "latent"))
+        if w not in routes:
+            raise ValueError(f"unknown workload {w!r}; have {sorted(routes)}")
+        return routes[w](req)
+
+    return generate
+
+
 def main(argv=None) -> None:
     import argparse
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", type=str, default=None)
+    ap.add_argument("--svd-config", type=str, default=None,
+                    help="also serve the SVD family (workload='svd')")
     ap.add_argument("--port", type=int, default=8000)
     ap.add_argument("--model-size", type=str, default="full")
     args, _ = ap.parse_known_args(argv)
@@ -223,7 +261,18 @@ def main(argv=None) -> None:
         model_size=cfg.get("model_size", args.model_size),
         attn_impl=cfg.get("attn_impl"),
     )
-    server = VideoServer(controller_generate_fn(controller))
+    routes = {"latent": controller_generate_fn(controller)}
+    if args.svd_config:
+        import app_svd
+
+        scfg = load_config(args.svd_config)
+        routes["svd"] = svd_controller_generate_fn(app_svd.AnimateController(
+            pretrained_model_path=scfg.get("pretrained_model_path"),
+            validation_data=scfg.get("validation_data"),
+            model_size=scfg.get("model_size", args.model_size),
+            motion_mask=bool(scfg.get("motion_mask", True)),
+        ))
+    server = VideoServer(multi_workload_generate_fn(routes))
     httpd = server.serve(args.port)
     print(f"serving on http://127.0.0.1:{args.port} (POST /generate)")
     try:

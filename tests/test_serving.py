@@ -113,3 +113,47 @@ def test_server_tiny_model_end_to_end(tmp_path):
 
     httpd.shutdown()
     server.shutdown()
+
+
+def test_server_svd_route(tmp_path):
+    """workload='svd' dispatches to the SVD controller; unknown workloads
+    error cleanly."""
+    import app_svd
+    from animate_anything_tpu.serving import (multi_workload_generate_fn,
+                                              svd_controller_generate_fn)
+
+    controller = app_svd.AnimateController(
+        model_size="tiny", output_dir=str(tmp_path / "svd_out"),
+        validation_data=dict(num_frames=3),
+    )
+    gen = multi_workload_generate_fn(
+        {"svd": svd_controller_generate_fn(controller)})
+    server = VideoServer(gen)
+    httpd = server.serve(0)
+    port = httpd.server_address[1]
+    conn = lambda: http.client.HTTPConnection("127.0.0.1", port, timeout=10)
+
+    img = Image.fromarray((np.random.default_rng(0).random((64, 64, 3)) * 255)
+                          .astype(np.uint8))
+    buf = io.BytesIO(); img.save(buf, format="PNG")
+    b64 = base64.b64encode(buf.getvalue()).decode()
+
+    c = conn()
+    c.request("POST", "/generate", body=json.dumps({
+        "workload": "svd", "image_b64": b64, "sample_steps": 2, "seed": 0,
+    }), headers={"Content-Type": "application/json"})
+    job_id = json.loads(c.getresponse().read())["job_id"]
+    r = _wait(conn, job_id, timeout=600)
+    assert r["status"] == "done", r
+    assert os.path.exists(r["result_path"])
+
+    # default workload 'latent' is not registered on this server
+    c = conn()
+    c.request("POST", "/generate", body=json.dumps({"image_b64": b64}),
+              headers={"Content-Type": "application/json"})
+    job_id = json.loads(c.getresponse().read())["job_id"]
+    r = _wait(conn, job_id, timeout=60)
+    assert r["status"] == "error" and "unknown workload" in r["error"]
+
+    httpd.shutdown()
+    server.shutdown()
