@@ -56,7 +56,8 @@ def _build_pipeline(models) -> LatentToVideoPipeline:
 
 
 def run_validation(models, validation_data: Config, output_dir: str, step: int,
-                   motion_mask: bool, motion_strength: bool, rng=None) -> dict:
+                   motion_mask: bool, motion_strength: bool, rng=None,
+                   eval_index: int = 0) -> dict:
     """In-training validation sampling (reference train.py:606-610 →
     eval :731-787): animate the validation image, write a gif, report motion
     metrics."""
@@ -68,14 +69,7 @@ def run_validation(models, validation_data: Config, output_dir: str, step: int,
     if img_path and os.path.exists(img_path):
         # reference: rescale the image's NATIVE aspect to the validation
         # area, snapped to /8 (train.py:741-744) — not the config dims
-        from PIL import Image as _Image
-
-        with _Image.open(img_path) as im:
-            nw, nh = im.size
-        scale = float(np.sqrt(nw * nh / (h * w)))
-        th = max(8, round(nh / scale / 8) * 8)
-        tw = max(8, round(nw / scale / 8) * 8)
-        image = media.load_image(img_path, size=(th, tw))
+        image = media.fit_image_to_area(img_path, h, w, multiple=8)
     else:
         image = (np.random.default_rng(0).random((h // 8 * 8, w // 8 * 8, 3)) * 255).astype(np.uint8)
 
@@ -95,9 +89,10 @@ def run_validation(models, validation_data: Config, output_dir: str, step: int,
         image,
         vd.get("prompt", ""),
         mask_img=mask_img,
-        # reference default sweeps strength = index+3 across eval iters
-        # (train.py:766: validation_data.get("strength", index+3))
-        motion_strength=float(vd.get("strength", step + 3)) if motion_strength else None,
+        # reference default sweeps strength = index+3 across eval ITERS
+        # (train.py:766: validation_data.get("strength", index+3); the
+        # training loop calls batch_eval with iters=1 ⇒ strength 3)
+        motion_strength=float(vd.get("strength", eval_index + 3)) if motion_strength else None,
         num_frames=int(vd.get("num_frames", 16)),
         num_inference_steps=int(vd.get("num_inference_steps", 25)),
         guidance_scale=float(vd.get("guidance_scale", 9)),
@@ -389,6 +384,7 @@ def main_eval(**cfg_kw) -> dict:
         metrics = run_validation(
             models, cfg.get("validation_data", Config()), output_dir, i,
             motion_mask, motion_strength, rng=jax.random.PRNGKey(i),
+            eval_index=i,
         )
         print(metrics)
         if "motion_precision" in metrics:

@@ -220,14 +220,7 @@ def main_eval(**cfg_kw) -> dict:
             # area-preserving rescale of the image's NATIVE aspect to the
             # validation area, snapped to 64-multiples (reference
             # train_svd.py:739-742, block_size=64)
-            from PIL import Image as _Image
-
-            with _Image.open(img_path) as im:
-                nw, nh = im.size
-            scale = float(np.sqrt(nw * nh / (h * w)))
-            th = max(64, round(nh / scale / 64) * 64)
-            tw = max(64, round(nw / scale / 64) * 64)
-            image = media.load_image(img_path, size=(th, tw))
+            image = media.fit_image_to_area(img_path, h, w, multiple=64)
         else:
             image = (np.random.default_rng(0).random((h, w, 3)) * 255).astype(np.uint8)
         mask = None
@@ -235,7 +228,9 @@ def main_eval(**cfg_kw) -> dict:
             lh, lw = image.shape[0] // 8, image.shape[1] // 8
             # sidecar motion mask: <image>_label.jpg, binarized, else all-ones
             # (reference train_svd.py:744-753)
-            label_path = img_path.split(".")[0] + "_label.jpg" if img_path else ""
+            # (splitext, not the reference's split('.')[0], which breaks on
+            # dotted directories — train_svd.py:744)
+            label_path = os.path.splitext(img_path)[0] + "_label.jpg" if img_path else ""
             if label_path and os.path.exists(label_path):
                 np_mask = media.load_image(label_path)[..., 0]
                 np_mask = (np_mask != 0).astype(np.float32)

@@ -77,11 +77,14 @@ class VideoServer:
     app.AnimateController and routes requests through its reference-semantics
     ``animate`` (mask from alpha, strength × mask mean, /8 snap)."""
 
+    MAX_FINISHED = 512   # finished-job metadata retained before eviction
+
     def __init__(self, generate_fn: Callable[[Dict[str, Any]], str]):
         self.generate_fn = generate_fn
         self.jobs: Dict[str, Job] = {}
         self.q: "queue.Queue[str]" = queue.Queue()
         self.done_count = 0
+        self._finished: list[str] = []   # completion order, for eviction
         self._lock = threading.Lock()
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
@@ -102,6 +105,14 @@ class VideoServer:
             except Exception as e:  # surface the error to the client
                 job.status, job.error = "error", f"{type(e).__name__}: {e}"
             job.finished = time.time()
+            # bound memory: requests can carry multi-MB image payloads, and a
+            # production server runs indefinitely — drop the payload now and
+            # evict the oldest finished jobs' metadata beyond MAX_FINISHED
+            job.request = {}
+            with self._lock:
+                self._finished.append(job.id)
+                while len(self._finished) > self.MAX_FINISHED:
+                    self.jobs.pop(self._finished.pop(0), None)
 
     def submit(self, request: Dict[str, Any]) -> Job:
         job = Job(id=uuid.uuid4().hex[:12], request=request)
@@ -186,11 +197,19 @@ def controller_generate_fn(controller) -> Callable[[Dict[str, Any]], str]:
         if image is None:
             raise ValueError("request needs image_b64 or image_path")
         mask = _decode_image(req, "mask")
+        layer = np.zeros_like(image)
         if mask is not None:
-            layers = [mask]
-        else:
-            layers = [np.zeros_like(image)]
-        init = {"background": image, "layers": layers}
+            # the controller reads the drawing layer's ALPHA channel
+            # (app.py:57); client masks are grayscale/RGB images whose
+            # LUMINANCE is the mask — move it into the alpha slot, binarized
+            m = mask[..., 0]
+            if m.shape != image.shape[:2]:
+                from PIL import Image
+
+                m = np.asarray(Image.fromarray(m).resize(
+                    (image.shape[1], image.shape[0]), Image.NEAREST))
+            layer[..., 3] = np.where(m != 0, 255, 0)
+        init = {"background": image, "layers": [layer]}
         return controller.animate(
             init,
             motion_scale=float(req.get("motion_scale", 3.0)),

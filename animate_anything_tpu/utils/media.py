@@ -34,6 +34,19 @@ def save_image(path: str, arr: np.ndarray) -> str:
     return path
 
 
+def fit_image_to_area(path: str, target_h: int, target_w: int,
+                      multiple: int = 8) -> np.ndarray:
+    """Load an image rescaled so its NATIVE aspect fits the target AREA, with
+    each side snapped to `multiple` (reference eval sizing: train.py:741-744
+    snaps to 8, train_svd.py:739-742 to block_size=64)."""
+    with Image.open(path) as im:
+        nw, nh = im.size
+    scale = float(np.sqrt(nw * nh / (target_h * target_w)))
+    th = max(multiple, round(nh / scale / multiple) * multiple)
+    tw = max(multiple, round(nw / scale / multiple) * multiple)
+    return load_image(path, size=(th, tw))
+
+
 def load_image_rgba(path: str, size: tuple[int, int] | None = None) -> np.ndarray:
     img = Image.open(path).convert("RGBA")
     if size is not None:
@@ -78,6 +91,10 @@ def save_video(path: str, frames: np.ndarray, fps: int = 8) -> str:
             return path
         except Exception:
             path = path[:-4] + ".gif"
+            if os.path.exists(path):
+                # caller already wrote the gif (mp4 was requested as a
+                # sidecar) — don't re-encode the identical file
+                return path
     return save_gif(path, frames, fps=fps)
 
 

@@ -157,3 +157,49 @@ def test_server_svd_route(tmp_path):
 
     httpd.shutdown()
     server.shutdown()
+
+
+def test_serving_mask_reaches_alpha_layer():
+    """A grayscale client mask must land in the drawing layer's ALPHA channel
+    (the channel app.AnimateController reads), not be lost to convert('RGBA')."""
+    captured = {}
+
+    class FakeController:
+        def animate(self, init_img, **kw):
+            captured["init"] = init_img
+            captured.update(kw)
+            return "x.gif"
+
+    gen = controller_generate_fn(FakeController())
+    img = Image.fromarray((np.random.default_rng(0).random((32, 32, 3)) * 255)
+                          .astype(np.uint8))
+    mask = np.zeros((16, 16), np.uint8)  # different size → resize path
+    mask[:8] = 255                       # top half animates
+    b = io.BytesIO(); img.save(b, format="PNG")
+    mb = io.BytesIO(); Image.fromarray(mask, mode="L").save(mb, format="PNG")
+    gen({"image_b64": base64.b64encode(b.getvalue()).decode(),
+         "mask_b64": base64.b64encode(mb.getvalue()).decode(),
+         "prompt": "p"})
+    alpha = captured["init"]["layers"][0][..., 3]
+    assert alpha.shape == (32, 32)
+    assert alpha[:16].min() == 255 and alpha[16:].max() == 0
+
+
+def test_serving_job_eviction(tmp_path):
+    """Finished jobs drop their request payload and are evicted FIFO beyond
+    MAX_FINISHED."""
+    p = tmp_path / "r.gif"
+    Image.fromarray(np.zeros((4, 4, 3), np.uint8)).save(p)
+
+    server = VideoServer(lambda req: str(p))
+    server.MAX_FINISHED = 2
+    jobs = [server.submit({"payload": "x" * 1000, "i": i}) for i in range(5)]
+    t0 = time.time()
+    while server.done_count < 5 and time.time() - t0 < 30:
+        time.sleep(0.05)
+    assert server.done_count == 5
+    # only the 2 newest finished jobs remain, with empty request payloads
+    assert len(server.jobs) == 2
+    assert jobs[0].id not in server.jobs and jobs[4].id in server.jobs
+    assert all(j.request == {} for j in server.jobs.values())
+    server.shutdown()
