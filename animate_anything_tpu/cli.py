@@ -47,21 +47,22 @@ from animate_anything_tpu.utils import media
 from animate_anything_tpu.utils.logging_util import MetricLogger
 
 
-def _build_pipeline(models) -> LatentToVideoPipeline:
+def _build_pipeline(models, pab=None) -> LatentToVideoPipeline:
     return LatentToVideoPipeline(
         models["unet"], models["unet_params"], models["vae"], models["vae_params"],
         text_encoder=models["text"], text_params=models["text_params"],
         tokenizer=models["tokenizer"], schedule=models["schedule"],
+        pab=pab,
     )
 
 
 def run_validation(models, validation_data: Config, output_dir: str, step: int,
                    motion_mask: bool, motion_strength: bool, rng=None,
-                   eval_index: int = 0) -> dict:
+                   eval_index: int = 0, pab=None) -> dict:
     """In-training validation sampling (reference train.py:606-610 →
     eval :731-787): animate the validation image, write a gif, report motion
     metrics."""
-    pipe = _build_pipeline(models)
+    pipe = _build_pipeline(models, pab=pab)
     vd = validation_data
     img_path = vd.get("prompt_image")
     h = int(vd.get("height", 512))
@@ -385,6 +386,7 @@ def main_eval(**cfg_kw) -> dict:
             models, cfg.get("validation_data", Config()), output_dir, i,
             motion_mask, motion_strength, rng=jax.random.PRNGKey(i),
             eval_index=i,
+            pab=(dict(cfg.pab) if cfg.get("pab") else None),
         )
         print(metrics)
         if "motion_precision" in metrics:

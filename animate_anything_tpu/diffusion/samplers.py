@@ -179,25 +179,37 @@ def sample_loop(
     model_fn: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray],
     sampler: str = "dpmpp",
     eta: float = 0.0,
+    model_state=None,
 ) -> jnp.ndarray:
     """Run the full denoise loop under one lax.scan.
 
     model_fn(latents, t) → model output (epsilon/v per schedule). CFG and
     conditioning live inside model_fn, so this stays sampler-agnostic.
+
+    model_state: optional carry threaded through the loop — when given,
+    model_fn is called as model_fn(latents, t, i, state) → (out, state)
+    (step-dependent model behavior, e.g. PAB attention-delta caching).
     """
     ts = np.asarray(timesteps)
     n = len(ts)
+    stateful = model_state is not None
+
+    def call_model(sample, t, i, ms):
+        if stateful:
+            return model_fn(sample, t, i, ms)
+        return model_fn(sample, t), ms
 
     if sampler == "dpmpp":
         tables = dpmpp_init(schedule, ts)
 
-        def body(state, i):
+        def body(carry, i):
+            state, ms = carry
             t = tables.timesteps[i]
-            out = model_fn(state.sample, t)
-            return dpmpp_step(schedule, tables, state, out, i), None
+            out, ms = call_model(state.sample, t, i, ms)
+            return (dpmpp_step(schedule, tables, state, out, i), ms), None
 
         init = SamplerState(sample=latents, aux=jnp.zeros_like(latents))
-        state, _ = jax.lax.scan(body, init, jnp.arange(n))
+        (state, _ms), _ = jax.lax.scan(body, (init, model_state), jnp.arange(n))
         return state.sample
 
     if sampler == "ddim":
@@ -205,13 +217,15 @@ def sample_loop(
         step_gap = (schedule.num_train_timesteps // n) if n else 0
         t_prev_arr = jnp.asarray(ts - step_gap, jnp.int32)
 
-        def body(state, i):
+        def body(carry, i):
+            state, ms = carry
             t = ts_arr[i]
-            out = model_fn(state.sample, t)
+            out, ms = call_model(state.sample, t, i, ms)
             prev = ddim_step(schedule, state.sample, out, t, t_prev_arr[i], eta=eta)
-            return SamplerState(sample=prev), None
+            return (SamplerState(sample=prev), ms), None
 
-        state, _ = jax.lax.scan(body, SamplerState(sample=latents), jnp.arange(n))
+        (state, _ms), _ = jax.lax.scan(
+            body, (SamplerState(sample=latents), model_state), jnp.arange(n))
         return state.sample
 
     raise ValueError(f"unknown sampler {sampler}")

@@ -136,11 +136,31 @@ class SpatialTransformer(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, context: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, context: jnp.ndarray,
+                 pab_reuse: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        # pab_reuse: traced bool — reuse the cached transformer delta instead
+        # of recomputing (Pyramid-Attention-Broadcast-style step caching,
+        # arXiv 2408.12588: attention deltas drift slowly across denoise
+        # steps). None = always compute (training, default inference).
+        if pab_reuse is None:
+            return self._delta(x, context) + x
+        cache = self.variable("pab", "delta", jnp.zeros, x.shape, self.dtype)
+
+        def compute(mdl, x_, ctx):
+            return mdl._delta(x_, ctx)
+
+        def reuse(mdl, x_, ctx):
+            _ = mdl._delta(x_, ctx)   # same variable structure; DCE'd branch
+            return cache.value
+
+        delta = nn.cond(pab_reuse, reuse, compute, self, x, context)
+        cache.value = delta
+        return delta + x
+
+    def _delta(self, x: jnp.ndarray, context: jnp.ndarray) -> jnp.ndarray:
         # x: (b*f, h, w, c); context: (b*f, seq, context_dim)
         bf, hh, ww, c = x.shape
         inner = self.heads * self.head_dim
-        residual = x
 
         h = FusedGroupNorm(self.groups, 1e-6, dtype=self.dtype, name="norm")(x)
         if self.use_linear_projection:
@@ -166,7 +186,7 @@ class SpatialTransformer(nn.Module):
         else:
             h = h.reshape(bf, hh, ww, inner)
             h = Conv1x1(c, dtype=self.dtype, name="proj_out")(h)
-        return h + residual
+        return h
 
 
 class TemporalSelfAttention(nn.Module):
@@ -286,7 +306,27 @@ class TemporalTransformer(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, num_frames: int) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, num_frames: int,
+                 pab_reuse: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        # pab_reuse: traced bool — reuse the cached delta (see
+        # SpatialTransformer; temporal deltas drift slowest across steps, so
+        # they broadcast at the widest rate)
+        if pab_reuse is None:
+            return self._delta(x, num_frames) + x
+        cache = self.variable("pab", "delta", jnp.zeros, x.shape, self.dtype)
+
+        def compute(mdl, x_):
+            return mdl._delta(x_, num_frames)
+
+        def reuse(mdl, x_):
+            _ = mdl._delta(x_, num_frames)  # same variables; DCE'd branch
+            return cache.value
+
+        delta = nn.cond(pab_reuse, reuse, compute, self, x)
+        cache.value = delta
+        return delta + x
+
+    def _delta(self, x: jnp.ndarray, num_frames: int) -> jnp.ndarray:
         from animate_anything_tpu.ops.temporal_block import (
             fused_ok, pack_frames, pack_geometry, unpack_frames)
 
@@ -294,7 +334,6 @@ class TemporalTransformer(nn.Module):
         bf, hh, ww, c = x.shape
         b = bf // num_frames
         inner = self.heads * self.head_dim
-        residual = x
 
         h = x.reshape(b, num_frames, hh, ww, c)
         # GroupNorm stats over (f, h, w, c/groups) — matches torch GN on (b,c,f,h,w)
@@ -316,7 +355,7 @@ class TemporalTransformer(nn.Module):
             h = unpack_frames(h, geom)
 
         h = nn.Dense(c, dtype=self.dtype, name="proj_out")(h)
-        return h.reshape(bf, hh, ww, c) + residual
+        return h.reshape(bf, hh, ww, c)
 
 
 class TemporalBasicBlock(nn.Module):

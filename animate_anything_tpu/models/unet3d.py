@@ -97,6 +97,9 @@ class UNet3DConditionModel(nn.Module):
         mask: Optional[jnp.ndarray] = None,  # (b, 1, h, w, 1), 1 = may move
         motion: Optional[jnp.ndarray] = None,  # (b,) scalar strength
         deterministic: bool = True,
+        pab_reuse: Optional[dict] = None,    # {'spatial','temporal'}: traced
+                                             # bools — reuse cached attention
+                                             # deltas this step (PAB caching)
     ) -> jnp.ndarray:
         cfg = self.config
         ch0 = cfg.block_out_channels[0]
@@ -151,7 +154,7 @@ class UNet3DConditionModel(nn.Module):
             x = TemporalTransformer(
                 8, cfg.attention_head_dim, attn_impl=cfg.attn_impl,
                 dtype=self.dtype, name="transformer_in",
-            )(x, nf)
+            )(x, nf, None if pab_reuse is None else pab_reuse.get("temporal"))
 
         # checkpointing is applied per sub-layer INSIDE the blocks via
         # remat= (the reference's granularity, unet_3d_blocks.py:32-120):
@@ -178,7 +181,7 @@ class UNet3DConditionModel(nn.Module):
                     deterministic=deterministic,
                     dtype=self.dtype,
                     name=f"down_blocks_{i}",
-                )(x, emb, context)
+                )(x, emb, context, pab_reuse)
             elif block_type == "DownBlock3D":
                 x, outs = DownBlock3D(
                     out_channels=down_out,
@@ -210,7 +213,7 @@ class UNet3DConditionModel(nn.Module):
             deterministic=deterministic,
             dtype=self.dtype,
             name="mid_block",
-        )(x, emb, context)
+        )(x, emb, context, pab_reuse)
 
         # 6. up (skip concat; upsample size tracked from the skip stack so odd
         # input sizes round-trip exactly — analog of the reference's
@@ -238,7 +241,7 @@ class UNet3DConditionModel(nn.Module):
                     deterministic=deterministic,
                     dtype=self.dtype,
                     name=f"up_blocks_{i}",
-                )(x, block_skips, emb, context)
+                )(x, block_skips, emb, context, pab_reuse)
             elif block_type == "UpBlock3D":
                 x = UpBlock3D(
                     out_channels=rev_channels[i],

@@ -65,8 +65,10 @@ class CrossAttnDownBlock3D(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, temb, context):
+    def __call__(self, x, temb, context, pab_reuse=None):
         deterministic = self.deterministic
+        ps = None if pab_reuse is None else pab_reuse.get("spatial")
+        pt = None if pab_reuse is None else pab_reuse.get("temporal")
         heads = self.out_channels // self.head_dim
         Resnet, TempConv, SpatialT, TemporalT = _sub_layers(self.remat)
         outputs = []
@@ -83,12 +85,12 @@ class CrossAttnDownBlock3D(nn.Module):
             x = SpatialT(
                 heads, self.head_dim, self.cross_attention_dim,
                 attn_impl=self.attn_impl, dtype=self.dtype, name=f"attentions_{i}",
-            )(x, context)
+            )(x, context, ps)
             if self.num_frames > 1:
                 x = TemporalT(
                     heads, self.head_dim, attn_impl=self.attn_impl,
                     dtype=self.dtype, name=f"temp_attentions_{i}",
-                )(x, self.num_frames)
+                )(x, self.num_frames, pt)
             outputs.append(x)
         if self.add_downsample:
             x = Downsample2D(self.out_channels, dtype=self.dtype, name="downsamplers_0")(x)
@@ -144,8 +146,10 @@ class UNetMidBlock3DCrossAttn(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, temb, context):
+    def __call__(self, x, temb, context, pab_reuse=None):
         deterministic = self.deterministic
+        ps = None if pab_reuse is None else pab_reuse.get("spatial")
+        pt = None if pab_reuse is None else pab_reuse.get("temporal")
         heads = self.in_channels // self.head_dim
         Resnet, TempConv, SpatialT, TemporalT = _sub_layers(self.remat)
         x = Resnet(
@@ -162,12 +166,12 @@ class UNetMidBlock3DCrossAttn(nn.Module):
                 heads, self.head_dim, self.cross_attention_dim,
                 use_linear_projection=True,  # mid block uses linear proj (ref :251)
                 attn_impl=self.attn_impl, dtype=self.dtype, name=f"attentions_{i}",
-            )(x, context)
+            )(x, context, ps)
             if self.num_frames > 1:
                 x = TemporalT(
                     heads, self.head_dim, attn_impl=self.attn_impl,
                     dtype=self.dtype, name=f"temp_attentions_{i}",
-                )(x, self.num_frames)
+                )(x, self.num_frames, pt)
             x = Resnet(
                 self.in_channels, eps=self.norm_eps, groups=self.groups,
                 impl=self.attn_impl, dtype=self.dtype, name=f"resnets_{i + 1}",
@@ -196,8 +200,10 @@ class CrossAttnUpBlock3D(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, skips, temb, context):
+    def __call__(self, x, skips, temb, context, pab_reuse=None):
         deterministic = self.deterministic
+        ps = None if pab_reuse is None else pab_reuse.get("spatial")
+        pt = None if pab_reuse is None else pab_reuse.get("temporal")
         heads = self.out_channels // self.head_dim
         Resnet, TempConv, SpatialT, TemporalT = _sub_layers(self.remat)
         for i in range(self.num_layers):
@@ -214,12 +220,12 @@ class CrossAttnUpBlock3D(nn.Module):
             x = SpatialT(
                 heads, self.head_dim, self.cross_attention_dim,
                 attn_impl=self.attn_impl, dtype=self.dtype, name=f"attentions_{i}",
-            )(x, context)
+            )(x, context, ps)
             if self.num_frames > 1:
                 x = TemporalT(
                     heads, self.head_dim, attn_impl=self.attn_impl,
                     dtype=self.dtype, name=f"temp_attentions_{i}",
-                )(x, self.num_frames)
+                )(x, self.num_frames, pt)
         if self.add_upsample:
             x = Upsample2D(self.out_channels, dtype=self.dtype, name="upsamplers_0")(x, self.output_size)
         return x

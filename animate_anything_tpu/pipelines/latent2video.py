@@ -51,6 +51,7 @@ class LatentToVideoPipeline:
         schedule: Optional[DiffusionSchedule] = None,
         sampler: str = "dpmpp",
         mesh=None,
+        pab: Optional[dict] = None,
     ):
         """mesh: optional jax.sharding.Mesh — batch shards over 'data' and
         frames over 'frame' (frames are i.i.d. through all spatial layers, so
@@ -58,8 +59,17 @@ class LatentToVideoPipeline:
         around temporal attention/convs). This is the inference-batching axis
         from BASELINE's north star — absent in the reference, which is
         single-GPU at inference."""
+        """pab: optional Pyramid-Attention-Broadcast config (arXiv
+        2408.12588-style step caching): {'spatial_rate': 2, 'temporal_rate':
+        3, 'warmup': 4, 'tail': 1}. Between warmup and the last `tail` steps,
+        each spatial/temporal transformer recomputes its residual delta only
+        every rate-th step and re-applies the cached delta otherwise —
+        attention deltas drift slowly across adjacent denoise steps, so this
+        trades a small output deviation for skipping most attention work.
+        None (default) = exact computation."""
         from animate_anything_tpu.diffusion import make_schedule
 
+        self.pab = dict(pab) if pab else None
         self.mesh = mesh
         self.unet = unet
         self.unet_params = unet_params
@@ -125,6 +135,8 @@ class LatentToVideoPipeline:
             data = AXIS_DATA if axes.get(AXIS_DATA, 1) > 1 and x.shape[0] % axes[AXIS_DATA] == 0 else None
             return constrain(x, mesh, data, frame, *([None] * (x.ndim - 2)))
 
+        pab = self.pab
+
         @functools.partial(jax.jit, static_argnames=("timesteps",))
         def denoise(unet_params, latents, condition_latent, embeds, mask, motion,
                     guidance_scale, timesteps):
@@ -134,14 +146,52 @@ class LatentToVideoPipeline:
             mask2 = None if mask is None else jnp.concatenate([mask, mask])
             motion2 = None if motion is None else jnp.concatenate([motion, motion])
 
-            def model_fn(x, t):
-                x2 = jnp.concatenate([x, x])
-                out = unet.apply(unet_params, x2, t, embeds, cond2, mask2, motion2)
-                uncond, cond = out[:b], out[b:]
-                return uncond + guidance_scale * (cond - uncond)
+            if pab is None:
+                def model_fn(x, t):
+                    x2 = jnp.concatenate([x, x])
+                    out = unet.apply(unet_params, x2, t, embeds, cond2, mask2, motion2)
+                    uncond, cond = out[:b], out[b:]
+                    return uncond + guidance_scale * (cond - uncond)
 
+                return sample_loop(
+                    schedule, latents, np.asarray(timesteps), model_fn, sampler=sampler
+                )
+
+            # PAB: step-indexed reuse schedule + delta cache through the scan
+            n = len(timesteps)
+            sr = int(pab.get("spatial_rate", 2))
+            tr = int(pab.get("temporal_rate", 3))
+            warm = int(pab.get("warmup", 4))
+            tail = int(pab.get("tail", 1))
+            idx = np.arange(n)
+            mid = (idx >= warm) & (idx < n - tail)
+            sflags = jnp.asarray(mid & (idx % sr != 0)) if sr > 1 else jnp.zeros(n, bool)
+            tflags = jnp.asarray(mid & (idx % tr != 0)) if tr > 1 else jnp.zeros(n, bool)
+
+            def apply_pab(variables, x2, t, flags):
+                return unet.apply(variables, x2, t, embeds, cond2, mask2,
+                                  motion2, pab_reuse=flags, mutable=["pab"])
+
+            def model_fn(x, t, i, cache):
+                x2 = jnp.concatenate([x, x])
+                out, mut = apply_pab(
+                    {**unet_params, "pab": cache}, x2, t,
+                    {"spatial": sflags[i], "temporal": tflags[i]},
+                )
+                uncond, cond = out[:b], out[b:]
+                return uncond + guidance_scale * (cond - uncond), mut["pab"]
+
+            x2s = jnp.concatenate([latents, latents])
+            _, mut_struct = jax.eval_shape(
+                apply_pab, dict(unet_params), x2s, jnp.zeros((), jnp.int32),
+                {"spatial": jnp.zeros((), bool), "temporal": jnp.zeros((), bool)},
+            )
+            cache0 = jax.tree_util.tree_map(
+                lambda s: jnp.zeros(s.shape, s.dtype), mut_struct["pab"]
+            )
             return sample_loop(
-                schedule, latents, np.asarray(timesteps), model_fn, sampler=sampler
+                schedule, latents, np.asarray(timesteps), model_fn,
+                sampler=sampler, model_state=cache0,
             )
 
         return denoise

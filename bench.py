@@ -65,7 +65,18 @@ def main():
         vae, 1, jnp.zeros((1, res, res, 3), jnp.bfloat16), dtype=np.dtype("bfloat16")
     )
 
-    pipe = LatentToVideoPipeline(unet, uparams, vae, vparams, schedule=make_schedule())
+    # BENCH_PAB=1: Pyramid-Attention-Broadcast step caching (opt-in — changes
+    # outputs slightly, so the honest default headline stays exact; see
+    # pipelines/latent2video.py docstring)
+    pab = None
+    if os.environ.get("BENCH_PAB"):
+        pab = {"spatial_rate": int(os.environ.get("BENCH_PAB_SPATIAL", 2)),
+               "temporal_rate": int(os.environ.get("BENCH_PAB_TEMPORAL", 3)),
+               "warmup": int(os.environ.get("BENCH_PAB_WARMUP", 5)),
+               "tail": int(os.environ.get("BENCH_PAB_TAIL", 1))}
+
+    pipe = LatentToVideoPipeline(unet, uparams, vae, vparams,
+                                 schedule=make_schedule(), pab=pab)
     ts = tuple(int(t) for t in pipe.get_timesteps(steps))
 
     def run(x):
@@ -121,8 +132,9 @@ def main():
         f"flops={flops:.3e} t_a100_est={t_a100:.2f}s",
         file=sys.stderr,
     )
+    tag = ", PAB" if pab else ""
     print(json.dumps({
-        "metric": f"sec per {frames}-frame {res}px video ({steps} steps, CFG)",
+        "metric": f"sec per {frames}-frame {res}px video ({steps} steps, CFG{tag})",
         "value": round(sec_per_video, 3),
         "unit": "s",
         "vs_baseline": round(float(vs_baseline), 3),
