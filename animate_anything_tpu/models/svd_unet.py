@@ -239,13 +239,31 @@ class TransformerSpatioTemporalModel(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, context):
+    def __call__(self, x, context, pab_reuse=None):
+        # pab_reuse: traced bool — reuse this module's cached residual delta
+        # instead of recomputing (PAB step caching; see
+        # models/attention.py::SpatialTransformer)
+        if pab_reuse is None:
+            return self._delta(x, context) + x
+        cache = self.variable("pab", "delta", jnp.zeros, x.shape, self.dtype)
+
+        def compute(mdl, x_, ctx):
+            return mdl._delta(x_, ctx)
+
+        def reuse(mdl, x_, ctx):
+            _ = mdl._delta(x_, ctx)   # same variable structure; DCE'd branch
+            return cache.value
+
+        delta = nn.cond(pab_reuse, reuse, compute, self, x, context)
+        cache.value = delta
+        return delta + x
+
+    def _delta(self, x, context):
         # x: (b*f, h, w, c); context: (b, 1, context_dim) image embedding
         bf, hh, ww, c = x.shape
         f = self.num_frames
         b = bf // f
         inner = self.heads * self.head_dim
-        residual = x
 
         h = nn.GroupNorm(32, epsilon=1e-6, dtype=jnp.float32, name="norm")(x)
         h = h.reshape(bf, hh * ww, c)
@@ -278,7 +296,7 @@ class TransformerSpatioTemporalModel(nn.Module):
                 h = AlphaBlender(name=f"time_mixer_{i}")(h, hm)
 
         h = nn.Dense(c, dtype=self.dtype, name="proj_out")(h)
-        return h.reshape(bf, hh, ww, c) + residual
+        return h.reshape(bf, hh, ww, c)
 
 
 class UNetSpatioTemporalConditionModel(nn.Module):
@@ -292,6 +310,7 @@ class UNetSpatioTemporalConditionModel(nn.Module):
         timestep: jnp.ndarray,        # () or (b,) — continuous c_noise for EDM
         encoder_hidden_states: jnp.ndarray,  # (b, 1, 1024) CLIP image embedding
         added_time_ids: jnp.ndarray,  # (b, 3) fps/motion_bucket/noise_aug
+        pab_reuse: Optional[jnp.ndarray] = None,  # traced bool: PAB reuse
     ) -> jnp.ndarray:
         cfg = self.config
         b, f, hh, ww, _ = sample.shape
@@ -343,7 +362,7 @@ class UNetSpatioTemporalConditionModel(nn.Module):
             for j in range(cfg.layers_per_block):
                 x = res_block(out_ch, f"down_blocks_{i}_resnets_{j}")(x, emb)
                 if has_attn:
-                    x = attn_block(i, f"down_blocks_{i}_attentions_{j}")(x, encoder_hidden_states)
+                    x = attn_block(i, f"down_blocks_{i}_attentions_{j}")(x, encoder_hidden_states, pab_reuse)
                 skips.append(x)
             if i < n_blocks - 1:
                 x = Downsample2D(out_ch, dtype=self.dtype,
@@ -352,7 +371,7 @@ class UNetSpatioTemporalConditionModel(nn.Module):
 
         # mid
         x = res_block(cfg.block_out_channels[-1], "mid_resnets_0")(x, emb)
-        x = attn_block(n_blocks - 1, "mid_attentions_0")(x, encoder_hidden_states)
+        x = attn_block(n_blocks - 1, "mid_attentions_0")(x, encoder_hidden_states, pab_reuse)
         x = res_block(cfg.block_out_channels[-1], "mid_resnets_1")(x, emb)
 
         # up
@@ -365,7 +384,7 @@ class UNetSpatioTemporalConditionModel(nn.Module):
                 x = jnp.concatenate([x, skips.pop()], axis=-1)
                 x = res_block(out_ch, f"up_blocks_{i}_resnets_{j}")(x, emb)
                 if has_attn:
-                    x = attn_block(n_blocks - 1 - i, f"up_blocks_{i}_attentions_{j}")(x, encoder_hidden_states)
+                    x = attn_block(n_blocks - 1 - i, f"up_blocks_{i}_attentions_{j}")(x, encoder_hidden_states, pab_reuse)
             if i < n_blocks - 1:
                 output_size = skips[-1].shape[1:3] if skips else None
                 x = Upsample2D(out_ch, dtype=self.dtype,

@@ -48,7 +48,13 @@ class MaskStableVideoDiffusionPipeline:
         text_encoder=None,
         text_params=None,
         tokenizer=None,
+        pab: Optional[dict] = None,
     ):
+        """pab: optional PAB step caching — {'rate': 2, 'warmup': 4,
+        'tail': 1}: between warmup and tail, each spatio-temporal transformer
+        recomputes its residual delta only every rate-th Euler step (see
+        pipelines/latent2video.py for the full description)."""
+        self.pab = dict(pab) if pab else None
         self.unet = unet
         self.unet_params = unet_params
         self.vae = vae
@@ -82,6 +88,7 @@ class MaskStableVideoDiffusionPipeline:
     @functools.cached_property
     def _denoise_jit(self):
         unet = self.unet
+        pab = self.pab
 
         @functools.partial(jax.jit, static_argnames=("num_steps",))
         def denoise(unet_params, latents, cond_latents2, mask2, embeds2,
@@ -93,19 +100,58 @@ class MaskStableVideoDiffusionPipeline:
             noise = jax.random.normal(rng, latents.shape, jnp.float32)
             x = (noise * es.init_noise_sigma).astype(latents.dtype)
 
-            def body(x, i):
-                sigma, sigma_next = es.sigmas[i], es.sigmas[i + 1]
-                t = es.timesteps[i]
+            def make_input(x, sigma):
                 inp = scale_model_input(jnp.concatenate([x, x]), sigma)
                 inp = jnp.concatenate([inp, cond_latents2], axis=-1)
                 if mask2 is not None:
                     inp = jnp.concatenate([mask2, inp], axis=-1)
-                out = unet.apply(unet_params, inp, t, embeds2, added_time_ids2)
+                return inp
+
+            if pab is None:
+                def body(x, i):
+                    sigma, sigma_next = es.sigmas[i], es.sigmas[i + 1]
+                    t = es.timesteps[i]
+                    out = unet.apply(unet_params, make_input(x, sigma), t,
+                                     embeds2, added_time_ids2)
+                    uncond, cond = out[:b], out[b:]
+                    pred = uncond + guidance * (cond - uncond)
+                    return euler_step(x, pred, sigma, sigma_next), None
+
+                x, _ = jax.lax.scan(body, x, jnp.arange(num_steps))
+                return x
+
+            # PAB: step-indexed reuse schedule + delta cache in the carry
+            rate = int(pab.get("rate", 2))
+            warm = int(pab.get("warmup", 4))
+            tail = int(pab.get("tail", 1))
+            idx = np.arange(num_steps)
+            mid = (idx >= warm) & (idx < num_steps - tail)
+            flags = jnp.asarray(mid & (idx % rate != 0)) if rate > 1 else \
+                jnp.zeros(num_steps, bool)
+
+            def apply_pab(variables, inp, t, flag):
+                return unet.apply(variables, inp, t, embeds2, added_time_ids2,
+                                  pab_reuse=flag, mutable=["pab"])
+
+            _, mut_struct = jax.eval_shape(
+                apply_pab, dict(unet_params),
+                make_input(x, es.sigmas[0]), jnp.zeros((), jnp.float32),
+                jnp.zeros((), bool),
+            )
+            cache0 = jax.tree_util.tree_map(
+                lambda s: jnp.zeros(s.shape, s.dtype), mut_struct["pab"])
+
+            def body(carry, i):
+                x, cache = carry
+                sigma, sigma_next = es.sigmas[i], es.sigmas[i + 1]
+                t = es.timesteps[i]
+                out, mut = apply_pab({**unet_params, "pab": cache},
+                                     make_input(x, sigma), t, flags[i])
                 uncond, cond = out[:b], out[b:]
                 pred = uncond + guidance * (cond - uncond)
-                return euler_step(x, pred, sigma, sigma_next), None
+                return (euler_step(x, pred, sigma, sigma_next), mut["pab"]), None
 
-            x, _ = jax.lax.scan(body, x, jnp.arange(num_steps))
+            (x, _c), _ = jax.lax.scan(body, (x, cache0), jnp.arange(num_steps))
             return x
 
         return denoise

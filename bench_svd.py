@@ -57,7 +57,12 @@ def main():
         vae, 1, jnp.zeros((1, res, res, 3), jnp.bfloat16), dtype=np.dtype("bfloat16")
     )
 
-    pipe = MaskStableVideoDiffusionPipeline(unet, uparams, vae, vparams)
+    pab = None
+    if os.environ.get("BENCH_PAB"):
+        pab = {"rate": int(os.environ.get("BENCH_PAB_RATE", 2)),
+               "warmup": int(os.environ.get("BENCH_PAB_WARMUP", 5)),
+               "tail": int(os.environ.get("BENCH_PAB_TAIL", 1))}
+    pipe = MaskStableVideoDiffusionPipeline(unet, uparams, vae, vparams, pab=pab)
     denoise = pipe._denoise_jit  # cached_property → the jitted fn
 
     cond2 = jnp.zeros((2 * b, frames, hw, hw, 4), jnp.bfloat16)
@@ -94,7 +99,7 @@ def main():
         file=sys.stderr,
     )
     print(json.dumps({
-        "metric": f"sec per {frames}-frame {res}px SVD video ({steps} Euler steps, CFG)",
+        "metric": f"sec per {frames}-frame {res}px SVD video ({steps} Euler steps, CFG{', PAB' if pab else ''})",
         "value": round(sec_per_video, 3),
         "unit": "s",
         "vs_baseline": 1.0,

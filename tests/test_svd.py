@@ -141,3 +141,32 @@ def test_svd_temporal_block_impl_parity():
     a = m_x.apply(p_x, x, ctx)
     bb = m_p.apply(p_p, x, ctx)
     np.testing.assert_allclose(np.asarray(a), np.asarray(bb), atol=5e-5)
+
+
+def test_svd_pab_rate1_exact_and_fast_runs(svd_setup):
+    """PAB on the spatio-temporal UNet: rate=1 through the cache machinery is
+    bit-exact vs the plain path; real rates run and deviate."""
+    unet, params, vae, vparams, ienc, iparams = svd_setup
+    common = dict(image_encoder=ienc, image_encoder_params=iparams)
+    base = MaskStableVideoDiffusionPipeline(unet, params, vae, vparams, **common)
+    exact = MaskStableVideoDiffusionPipeline(unet, params, vae, vparams,
+                                             pab={"rate": 1}, **common)
+    fast = MaskStableVideoDiffusionPipeline(
+        unet, params, vae, vparams, pab={"rate": 2, "warmup": 1, "tail": 1},
+        **common)
+
+    b, f, hw = 1, 4, 8
+    latents = jnp.zeros((b, f, hw, hw, 4))
+    cond2 = jnp.zeros((2 * b, f, hw, hw, 4))
+    mask2 = jnp.ones((2 * b, f, hw, hw, 1))
+    emb2 = jnp.zeros((2 * b, 1, 32))
+    ids2 = jnp.zeros((2 * b, 3))
+    g = jnp.ones((b, f, 1, 1, 1))
+    rng = jax.random.PRNGKey(0)
+
+    o_base = base._denoise_jit(params, latents, cond2, mask2, emb2, ids2, g, rng, 5)
+    o_exact = exact._denoise_jit(params, latents, cond2, mask2, emb2, ids2, g, rng, 5)
+    o_fast = fast._denoise_jit(params, latents, cond2, mask2, emb2, ids2, g, rng, 5)
+    assert jnp.array_equal(o_base, o_exact)
+    assert bool(jnp.isfinite(o_fast).all())
+    assert float(jnp.abs(o_fast - o_base).max()) > 0
