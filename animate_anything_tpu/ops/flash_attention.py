@@ -323,7 +323,11 @@ def _flash_forward_lanes(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.
     kf = k.reshape(b, sk, c)
     vf = v.reshape(b, sk, c)
 
-    block_q = min(_BLOCK_Q, _round_up(sq, _LANE))
+    # On-chip sweep (scripts/lanes_block_sweep.py, v5e): bq256 wins at
+    # sk=4096 (11.44 vs 12.65 ms; bq512 OOMs scoped VMEM), bq512 wins at
+    # sk≤1024 (3.16 vs 3.40 ms) — the K/V stream is short enough that a
+    # taller q tile amortizes its setup without blowing the VMEM budget.
+    block_q = min(512 if sk <= 1024 else _BLOCK_Q, _round_up(sq, _LANE))
     sq_pad = _round_up(sq, block_q)
     sk_pad = _round_up(sk, _LANE)
     if sq_pad != sq:

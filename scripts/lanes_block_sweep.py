@@ -47,8 +47,11 @@ def main():
         row = [f"{tag} fwd:"]
         for bq in (128, 256, 512):
             fa._BLOCK_Q = bq
-            t = bench(fa._flash_forward_lanes, q, k, v)
-            row.append(f"bq{bq}={t:6.2f}ms")
+            try:
+                t = bench(fa._flash_forward_lanes, q, k, v)
+                row.append(f"bq{bq}={t:6.2f}ms")
+            except Exception:
+                row.append(f"bq{bq}=ERR")
         fa._BLOCK_Q = 256
         print(" ".join(row), flush=True)
 
