@@ -22,6 +22,8 @@ import numpy as np
 
 from animate_anything_tpu.core import (
     AXIS_DATA,
+    AXIS_FRAME,
+    AXIS_TENSOR,
     Config,
     create_mesh,
     load_config,
@@ -143,6 +145,7 @@ def main(**cfg_kw) -> str:
         compute_dtype=policy.compute_dtype,
         rescale_schedule=bool(cfg.get("rescale_schedule", False)),
         attn_impl=cfg.get("attn_impl"),
+        gradient_checkpointing=bool(cfg.get("gradient_checkpointing", False)),
         seed=seed,
     )
 
@@ -201,7 +204,14 @@ def main(**cfg_kw) -> str:
         rescale_schedule=bool(cfg.get("rescale_schedule", False)),
         cache_latents=bool(cfg.get("cache_latents", False)),
     )
-    mesh = create_mesh({AXIS_DATA: int(cfg.get("mesh", {}).get("data", -1))})
+    # full mesh from config: data (default: all remaining chips) + optional
+    # frame/tensor axes (context/tensor parallelism — SURVEY §2.4)
+    mesh_cfg = dict(cfg.get("mesh", {}))
+    mesh_shape = {AXIS_DATA: int(mesh_cfg.get("data", -1))}
+    for ax in (AXIS_FRAME, AXIS_TENSOR):
+        if int(mesh_cfg.get(ax, 1)) != 1:
+            mesh_shape[ax] = int(mesh_cfg[ax])
+    mesh = create_mesh(mesh_shape)
 
     # LoRA: the train state holds only the adapter tree(s) (reference
     # train_lora.py workload; both backends' capabilities in models/lora.py).

@@ -12,7 +12,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from animate_anything_tpu.core import AXIS_DATA, Config, create_mesh, load_config
+from animate_anything_tpu.core import (
+    AXIS_DATA,
+    AXIS_FRAME,
+    AXIS_TENSOR,
+    Config,
+    create_mesh,
+    load_config,
+)
 from animate_anything_tpu.core.dtypes import policy_from_string
 from animate_anything_tpu.data import DataLoader, extend_datasets, get_train_dataset
 from animate_anything_tpu.data.datasets import ConcatDataset
@@ -41,16 +48,19 @@ def build_svd_models(
     compute_dtype=jnp.float32,
     seed: int = 0,
     attn_impl: Optional[str] = None,
+    gradient_checkpointing: bool = False,
 ) -> dict:
     """SVD analog of factory.build_models. Random host init when no checkpoint
     (weight import for the SVD family lands with the diffusers-SVD key maps)."""
     in_ch = 9 if motion_mask else 8
+    ukw = dict(in_channels=in_ch, attn_impl=attn_impl,
+               gradient_checkpointing=gradient_checkpointing)
     if model_size == "tiny":
-        ucfg = SVDUNetConfig.tiny(in_channels=in_ch, attn_impl=attn_impl)
+        ucfg = SVDUNetConfig.tiny(**ukw)
         vcfg = VAEConfig.tiny()
         icfg = CLIPVisionConfig.tiny(projection_dim=ucfg.cross_attention_dim)
     else:
-        ucfg = SVDUNetConfig(in_channels=in_ch, attn_impl=attn_impl)
+        ucfg = SVDUNetConfig(**ukw)
         vcfg = VAEConfig()
         icfg = CLIPVisionConfig()
     unet = UNetSpatioTemporalConditionModel(ucfg, dtype=compute_dtype)
@@ -90,6 +100,7 @@ def main(**cfg_kw) -> str:
         cfg.get("pretrained_model_path"), motion_mask=motion_mask,
         model_size=cfg.get("model_size", "full"), compute_dtype=policy.compute_dtype,
         seed=seed, attn_impl=cfg.get("attn_impl"),
+        gradient_checkpointing=bool(cfg.get("gradient_checkpointing", False)),
     )
     datasets = get_train_dataset(
         list(cfg.get("dataset_types", ["folder"])), dict(cfg.get("train_data", {})), None
@@ -112,7 +123,12 @@ def main(**cfg_kw) -> str:
         trainable_modules=tuple(cfg.get("trainable_modules", ["all"])),
         motion_mask=motion_mask,
     )
-    mesh = create_mesh({AXIS_DATA: int(cfg.get("mesh", {}).get("data", 1))})
+    mesh_cfg = dict(cfg.get("mesh", {}))
+    mesh_shape = {AXIS_DATA: int(mesh_cfg.get("data", 1))}
+    for ax in (AXIS_FRAME, AXIS_TENSOR):
+        if int(mesh_cfg.get(ax, 1)) != 1:
+            mesh_shape[ax] = int(mesh_cfg[ax])
+    mesh = create_mesh(mesh_shape)
     state = create_train_state(models["unet_params"], tconf)
     state = jax.tree_util.tree_map(jax.device_put, state, infer_state_shardings(state, mesh))
 

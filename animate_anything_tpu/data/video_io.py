@@ -1,10 +1,16 @@
 """Host-side video reading + frame sampling.
 
 Replaces the reference's decord dependency (/root/reference/utils/dataset.py:2)
-with a backend-agnostic reader: gif/webp/apng via PIL, mp4/webm via imageio
-when a plugin exists (this image ships none — datasets of gif/webp/image
-sequences and cached latents are the supported paths), and directories of
-numbered frames.
+with a backend-agnostic reader, tried in order:
+- gif/webp/apng via PIL;
+- directories of numbered frames (+ optional meta.json fps sidecar, the shard
+  format `compress_video.py frames` emits);
+- mp4/webm via an ffmpeg-subprocess rawvideo pipe when ffmpeg is installed
+  (any real deployment box; this image ships none);
+- imageio as a last resort.
+For in-image work on real datasets, run the one-step offline prep
+``python compress_video.py frames <video_dir> <out_dir>`` on any box with
+ffmpeg — it converts each clip into a frame-dir shard this reader consumes.
 
 Frame sampling matches ``get_frame_batch`` (/root/reference/utils/dataset.py:92-105):
 stride = round(native_fps / sample_fps); if too few frames, linspace over the
@@ -13,10 +19,50 @@ whole clip; take the LAST max_frames window.
 
 from __future__ import annotations
 
+import json
 import os
+import shutil
+import subprocess
 
 import numpy as np
 from PIL import Image
+
+
+def have_ffmpeg() -> bool:
+    return shutil.which("ffmpeg") is not None and shutil.which("ffprobe") is not None
+
+
+def ffmpeg_probe(path: str) -> tuple[int, int, float, int]:
+    """→ (width, height, fps, n_frames) via ffprobe (requires ffmpeg suite)."""
+    out = subprocess.run(
+        ["ffprobe", "-v", "error", "-select_streams", "v:0", "-show_entries",
+         "stream=width,height,r_frame_rate,nb_frames", "-of", "json", path],
+        capture_output=True, text=True, check=True,
+    ).stdout
+    st = json.loads(out)["streams"][0]
+    num, den = (st.get("r_frame_rate") or "8/1").split("/")
+    fps = float(num) / max(float(den), 1.0)
+    n = int(st.get("nb_frames") or 0)
+    return int(st["width"]), int(st["height"]), fps, n
+
+
+def ffmpeg_read_video(path: str, max_frames: int | None = None) -> tuple[np.ndarray, float]:
+    """Decode a clip to (f, h, w, 3) uint8 via an ffmpeg rawvideo pipe.
+
+    The production analog of the reference's decord reader
+    (/root/reference/utils/dataset.py:92-105) for real deployment boxes; this
+    image ships no ffmpeg binary, so in-image tests exercise it through a
+    stubbed subprocess (tests/test_data.py) and real datasets go through the
+    ``compress_video.py frames`` offline prep instead."""
+    w, h, fps, _ = ffmpeg_probe(path)
+    cmd = ["ffmpeg", "-v", "error", "-i", path]
+    if max_frames:
+        cmd += ["-frames:v", str(int(max_frames))]
+    cmd += ["-f", "rawvideo", "-pix_fmt", "rgb24", "-"]
+    raw = subprocess.run(cmd, capture_output=True, check=True).stdout
+    n = len(raw) // (w * h * 3)
+    frames = np.frombuffer(raw[: n * w * h * 3], np.uint8).reshape(n, h, w, 3)
+    return frames, fps
 
 
 class VideoReader:
@@ -35,12 +81,23 @@ class VideoReader:
             if not self._files:
                 raise FileNotFoundError(f"no frames in {path}")
             self._n = len(self._files)
+            # frame-dir shards written by `compress_video.py frames` carry
+            # the source clip's fps in a meta.json sidecar
+            meta = os.path.join(path, "meta.json")
+            if os.path.exists(meta):
+                with open(meta) as f:
+                    self._fps = float(json.load(f).get("fps", self._fps))
         elif ext in (".gif", ".webp", ".apng", ".png"):
             img = Image.open(path)
             self._n = getattr(img, "n_frames", 1)
             dur = img.info.get("duration") or 125
             self._fps = 1000.0 / max(float(dur), 1.0)
             self._pil = img
+            self._files = None
+        elif have_ffmpeg():
+            # real-video path (mp4/webm/…): ffmpeg rawvideo pipe
+            self._frames, self._fps = ffmpeg_read_video(path)
+            self._n = len(self._frames)
             self._files = None
         else:
             from animate_anything_tpu.utils.media import load_video_frames

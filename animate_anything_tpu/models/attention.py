@@ -122,15 +122,20 @@ class BasicTransformerBlock(nn.Module):
 class SpatialTransformer(nn.Module):
     """Transformer2DModel over the h·w sequence of each frame.
 
-    use_linear_projection=False (down/up blocks) → 1x1-conv in/out projections;
-    True (mid block) → linear projections, matching the reference exactly
-    (/root/reference/models/unet_3d_blocks.py:287-296 vs :251)."""
+    use_linear_projection defaults True: the reference's get_down_block /
+    get_up_block default it True and UNet3DConditionModel never overrides
+    (/root/reference/models/unet_3d_blocks.py:136,192), and the mid block's
+    own default is True (:251) — so EVERY spatial transformer in this model
+    family uses linear proj_in/proj_out (2D linear weights in checkpoints).
+    Verified against the reference's own torch forward in
+    tests/test_torch_parity.py. False keeps the 1x1-conv variant for other
+    diffusers-family configs."""
 
     heads: int
     head_dim: int
     context_dim: int
     num_layers: int = 1
-    use_linear_projection: bool = False
+    use_linear_projection: bool = True
     groups: int = 32
     attn_impl: Optional[str] = None
     dtype: jnp.dtype = jnp.float32

@@ -132,10 +132,15 @@ def build_models(
     compute_dtype=jnp.float32,
     rescale_schedule: bool = False,
     attn_impl: Optional[str] = None,
+    gradient_checkpointing: bool = False,
     seed: int = 0,
 ) -> dict:
     """→ dict(unet, unet_params, unet_config, vae, vae_params, text, text_params,
-    tokenizer, schedule)."""
+    tokenizer, schedule).
+
+    ``gradient_checkpointing`` enables per-sub-layer remat in the UNet (the
+    reference's ``unet.enable_gradient_checkpointing()`` surface, driven by the
+    same yaml key — /root/reference/example/train_mask_motion.yaml)."""
     from_ckpt = bool(pretrained_model_path) and os.path.isdir(pretrained_model_path)
     comp = {}
     if from_ckpt:
@@ -144,19 +149,16 @@ def build_models(
         comp = load_pipeline_components(pretrained_model_path)
 
     # ---- configs
+    ukw = dict(
+        motion_mask=motion_mask, motion_strength=motion_strength,
+        attn_impl=attn_impl, gradient_checkpointing=gradient_checkpointing,
+    )
     if "unet_config" in comp:
-        ucfg = unet_config_from_json(
-            comp["unet_config"], motion_mask=motion_mask,
-            motion_strength=motion_strength, attn_impl=attn_impl,
-        )
+        ucfg = unet_config_from_json(comp["unet_config"], **ukw)
     elif model_size == "tiny":
-        ucfg = UNet3DConfig.tiny(
-            motion_mask=motion_mask, motion_strength=motion_strength, attn_impl=attn_impl
-        )
+        ucfg = UNet3DConfig.tiny(**ukw)
     else:
-        ucfg = UNet3DConfig(
-            motion_mask=motion_mask, motion_strength=motion_strength, attn_impl=attn_impl
-        )
+        ucfg = UNet3DConfig(**ukw)
     if "vae_config" in comp:
         vcfg = vae_config_from_json(comp["vae_config"])
     else:

@@ -84,11 +84,13 @@ class CrossAttnDownBlock3D(nn.Module):
                 )(x, self.num_frames, deterministic)
             x = SpatialT(
                 heads, self.head_dim, self.cross_attention_dim,
+                groups=self.groups,  # ref passes norm_num_groups=resnet_groups
                 attn_impl=self.attn_impl, dtype=self.dtype, name=f"attentions_{i}",
             )(x, context, ps)
             if self.num_frames > 1:
                 x = TemporalT(
-                    heads, self.head_dim, attn_impl=self.attn_impl,
+                    heads, self.head_dim, groups=self.groups,
+                    attn_impl=self.attn_impl,
                     dtype=self.dtype, name=f"temp_attentions_{i}",
                 )(x, self.num_frames, pt)
             outputs.append(x)
@@ -164,12 +166,13 @@ class UNetMidBlock3DCrossAttn(nn.Module):
         for i in range(self.num_layers):
             x = SpatialT(
                 heads, self.head_dim, self.cross_attention_dim,
-                use_linear_projection=True,  # mid block uses linear proj (ref :251)
+                groups=self.groups,  # linear proj everywhere (ref blocks default)
                 attn_impl=self.attn_impl, dtype=self.dtype, name=f"attentions_{i}",
             )(x, context, ps)
             if self.num_frames > 1:
                 x = TemporalT(
-                    heads, self.head_dim, attn_impl=self.attn_impl,
+                    heads, self.head_dim, groups=self.groups,
+                    attn_impl=self.attn_impl,
                     dtype=self.dtype, name=f"temp_attentions_{i}",
                 )(x, self.num_frames, pt)
             x = Resnet(
@@ -219,11 +222,13 @@ class CrossAttnUpBlock3D(nn.Module):
                 )(x, self.num_frames, deterministic)
             x = SpatialT(
                 heads, self.head_dim, self.cross_attention_dim,
+                groups=self.groups,  # ref passes norm_num_groups=resnet_groups
                 attn_impl=self.attn_impl, dtype=self.dtype, name=f"attentions_{i}",
             )(x, context, ps)
             if self.num_frames > 1:
                 x = TemporalT(
-                    heads, self.head_dim, attn_impl=self.attn_impl,
+                    heads, self.head_dim, groups=self.groups,
+                    attn_impl=self.attn_impl,
                     dtype=self.dtype, name=f"temp_attentions_{i}",
                 )(x, self.num_frames, pt)
         if self.add_upsample:

@@ -38,6 +38,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 MIN_PALLAS_SEQ = 128    # below this, XLA's batched attention wins
 _BLOCK_Q = 256   # measured best on v5e across s=256..4096 (512 ties, 128 worse)
+_BLOCK_Q_SMALL_SK = 512  # lanes fwd q tile when sk<=1024 (sweepable knob)
 _LANE = 128
 
 
@@ -327,7 +328,11 @@ def _flash_forward_lanes(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.
     # sk=4096 (11.44 vs 12.65 ms; bq512 OOMs scoped VMEM), bq512 wins at
     # sk≤1024 (3.16 vs 3.40 ms) — the K/V stream is short enough that a
     # taller q tile amortizes its setup without blowing the VMEM budget.
-    block_q = min(512 if sk <= 1024 else _BLOCK_Q, _round_up(sq, _LANE))
+    # Measured on self-attention (sq == sk) sites only; cross-attention
+    # shapes with large sq and small sk take the same branch by
+    # extrapolation (scores tile 512×sk_pad fp32 stays well under VMEM).
+    block_q = min(_BLOCK_Q_SMALL_SK if sk <= 1024 else _BLOCK_Q,
+                  _round_up(sq, _LANE))
     sq_pad = _round_up(sq, block_q)
     sk_pad = _round_up(sk, _LANE)
     if sq_pad != sq:

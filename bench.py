@@ -102,6 +102,28 @@ def main():
         times.append(time.time() - t0)
     sec_per_video = float(np.median(times))
 
+    # PAB quality vs the exact path (VERDICT r1 #8): same seed/input through
+    # the cache-free pipeline → latent PSNR + motion-score drift. Reported
+    # only when the approximation is opted into.
+    pab_quality = {}
+    if pab:
+        from animate_anything_tpu.metrics.motion import latent_motion_score
+
+        exact_pipe = LatentToVideoPipeline(unet, uparams, vae, vparams,
+                                           schedule=make_schedule())
+        x = jax.random.normal(jax.random.PRNGKey(0), latents.shape, jnp.bfloat16)
+        lat_pab = np.asarray(run(x), np.float32)
+        lat_exact = np.asarray(
+            exact_pipe._denoise_jit(uparams, x, cond, embeds, mask, motion,
+                                    jnp.asarray(9.0, jnp.float32), ts), np.float32)
+        mse = float(np.mean((lat_pab - lat_exact) ** 2))
+        peak = float(lat_exact.max() - lat_exact.min())
+        pab_quality["pab_latent_psnr_db"] = round(
+            10 * np.log10(peak**2 / max(mse, 1e-12)), 2)
+        ms_e = float(latent_motion_score(jnp.asarray(lat_exact))[0])
+        ms_p = float(latent_motion_score(jnp.asarray(lat_pab))[0])
+        pab_quality["pab_motion_score_drift"] = round(abs(ms_p - ms_e) / max(abs(ms_e), 1e-9), 4)
+
     # per-step UNet ms/frame (2×CFG forwards per step)
     unet_ms_per_frame = sec_per_video / steps / frames * 1000.0
 
@@ -138,6 +160,7 @@ def main():
         "value": round(sec_per_video, 3),
         "unit": "s",
         "vs_baseline": round(float(vs_baseline), 3),
+        **pab_quality,
     }))
 
 

@@ -7,8 +7,13 @@ re-encode subcommand errors with instructions rather than failing mid-run)
 and WebVid/MSVD-style caption json builders (pure python).
 
     python compress_video.py compress --input_dir raw/ --output_dir vids512/
+    python compress_video.py frames --input_dir vids512/ --output_dir shards/
     python compress_video.py webvid --csv results.csv --video_dir vids512/ --out data.json
     python compress_video.py folder_json --video_dir vids/ --out data.json
+
+``frames`` converts clips into backend-free frame-dir shards (numbered pngs +
+meta.json fps sidecar) — the offline prep that makes real mp4 datasets usable
+where no video decoder exists (data/video_io.py reads the shards natively).
 """
 
 from __future__ import annotations
@@ -50,6 +55,41 @@ def compress(input_dir: str, output_dir: str, size: int = 512, workers: int = 4)
             print(dst)
 
 
+def frames(input_dir: str, output_dir: str, workers: int = 4) -> None:
+    """Convert each clip into a frame-dir shard (numbered .png + meta.json
+    with the source fps) that data/video_io.py reads WITHOUT any video
+    backend. The one documented offline step that makes real mp4/webm
+    datasets (e.g. WebVid — /root/reference/utils/dataset.py:92-105) usable
+    on boxes without ffmpeg/decord, incl. this image.
+
+    Decode order per clip: PIL (gif/webp/apng) in-process, else ffmpeg."""
+    from animate_anything_tpu.data.video_io import VideoReader
+
+    os.makedirs(output_dir, exist_ok=True)
+    files = [f for f in os.listdir(input_dir) if f.lower().endswith(VID_EXTS + (".webp",))]
+
+    def one(name: str) -> str:
+        from PIL import Image
+
+        vr = VideoReader(os.path.join(input_dir, name))
+        shard = os.path.join(output_dir, os.path.splitext(name)[0])
+        os.makedirs(shard, exist_ok=True)
+        batch = vr.get_batch(range(len(vr)))
+        for i, fr in enumerate(batch):
+            Image.fromarray(fr).save(os.path.join(shard, f"{i:06d}.png"))
+        with open(os.path.join(shard, "meta.json"), "w") as f:
+            json.dump({"fps": vr.fps, "n_frames": len(vr), "source": name}, f)
+        # caption sidecar travels with the shard
+        cap = os.path.join(input_dir, os.path.splitext(name)[0] + ".txt")
+        if os.path.exists(cap):
+            shutil.copy(cap, shard + ".txt")
+        return shard
+
+    with concurrent.futures.ThreadPoolExecutor(workers) as ex:
+        for shard in ex.map(one, files):
+            print(shard)
+
+
 def webvid(csv_path: str, video_dir: str, out: str) -> None:
     """WebVid results.csv (videoid, name columns) → video_json dataset file."""
     items = []
@@ -88,6 +128,10 @@ if __name__ == "__main__":
     c.add_argument("--output_dir", required=True)
     c.add_argument("--size", type=int, default=512)
     c.add_argument("--workers", type=int, default=4)
+    fr = sub.add_parser("frames")
+    fr.add_argument("--input_dir", required=True)
+    fr.add_argument("--output_dir", required=True)
+    fr.add_argument("--workers", type=int, default=4)
     w = sub.add_parser("webvid")
     w.add_argument("--csv", required=True)
     w.add_argument("--video_dir", required=True)
@@ -98,6 +142,8 @@ if __name__ == "__main__":
     a = ap.parse_args()
     if a.cmd == "compress":
         compress(a.input_dir, a.output_dir, a.size, a.workers)
+    elif a.cmd == "frames":
+        frames(a.input_dir, a.output_dir, a.workers)
     elif a.cmd == "webvid":
         webvid(a.csv, a.video_dir, a.out)
     else:

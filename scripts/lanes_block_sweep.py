@@ -46,13 +46,16 @@ def main():
 
         row = [f"{tag} fwd:"]
         for bq in (128, 256, 512):
-            fa._BLOCK_Q = bq
+            # drive BOTH knobs: _flash_forward_lanes picks _BLOCK_Q_SMALL_SK
+            # when sk<=1024 and _BLOCK_Q otherwise — overriding only one
+            # would silently re-benchmark the default on half the sites
+            fa._BLOCK_Q = fa._BLOCK_Q_SMALL_SK = bq
             try:
                 t = bench(fa._flash_forward_lanes, q, k, v)
                 row.append(f"bq{bq}={t:6.2f}ms")
-            except Exception:
-                row.append(f"bq{bq}=ERR")
-        fa._BLOCK_Q = 256
+            except Exception as e:
+                row.append(f"bq{bq}=ERR({type(e).__name__})")
+        fa._BLOCK_Q, fa._BLOCK_Q_SMALL_SK = 256, 512
         print(" ".join(row), flush=True)
 
         def grad_fn(q_, k_, v_):
@@ -67,7 +70,7 @@ def main():
                 t = bench(grad_fn, q, k, v)
                 row.append(f"({bq},{bkv},{bq2})={t:6.2f}ms")
             except Exception as e:
-                row.append(f"({bq},{bkv},{bq2})=ERR")
+                row.append(f"({bq},{bkv},{bq2})=ERR({type(e).__name__})")
         fa._BWD_BLOCK_Q, fa._BWD_BLOCK_KV, fa._BWD_BLOCK_Q2 = 128, 256, 1024
         print(" ".join(row), flush=True)
 

@@ -201,3 +201,63 @@ def test_loader_rejects_empty_dataset(tmp_path):
     empty = FolderDataset(path=str(tmp_path), n_sample_frames=2, width=8, height=8)
     with pytest.raises(ValueError, match="no batches"):
         DataLoader(empty, batch_size=1)
+
+
+def test_frames_shard_roundtrip(gif_dir, tmp_path):
+    """compress_video.py frames → frame-dir shard (+meta.json fps) →
+    VideoReader consumes it with the source clip's fps — the offline prep
+    path that makes real mp4 datasets usable without a video backend."""
+    import compress_video
+
+    out = tmp_path / "shards"
+    compress_video.frames(gif_dir, str(out), workers=2)
+    shard = out / "a"
+    assert (shard / "meta.json").exists()
+    vr = VideoReader(str(shard))
+    assert len(vr) == 8
+    assert vr.fps == pytest.approx(10.0)  # 100ms/frame gif
+    batch = vr.get_batch([0, 3])
+    assert batch.shape == (2, 48, 64, 3)
+    # caption sidecar copied next to the shard
+    assert (out / "a.txt").read_text() == "a red square moves"
+    # fps-resampling window logic runs on the shard (reference
+    # get_frame_batch semantics, utils/dataset.py:92-105)
+    clip = read_video_clip(str(shard), num_frames=4, height=32, width=32,
+                           sample_fps=5.0)
+    assert clip.shape == (4, 32, 32, 3)
+
+
+def test_ffmpeg_decode_path(monkeypatch, tmp_path):
+    """mp4 decode via the gated ffmpeg subprocess pipe (stubbed: no ffmpeg in
+    this image). Asserts probe parsing, rawvideo reshaping, and VideoReader
+    routing for .mp4 when ffmpeg is present."""
+    from animate_anything_tpu.data import video_io
+
+    h, w, f = 6, 8, 5
+    rng = np.random.default_rng(3)
+    fake = (rng.random((f, h, w, 3)) * 255).astype(np.uint8)
+
+    class R:
+        def __init__(self, stdout):
+            self.stdout = stdout
+
+    def fake_run(cmd, capture_output=True, check=True, text=False):
+        if cmd[0] == "ffprobe":
+            return R(json.dumps({"streams": [{
+                "width": w, "height": h, "r_frame_rate": "24/1",
+                "nb_frames": str(f)}]}))
+        assert cmd[0] == "ffmpeg" and cmd[-1] == "-"
+        return R(fake.tobytes())
+
+    monkeypatch.setattr(video_io.subprocess, "run", fake_run)
+    monkeypatch.setattr(video_io.shutil, "which", lambda _: "/usr/bin/stub")
+
+    frames, fps = video_io.ffmpeg_read_video("clip.mp4")
+    assert fps == 24.0
+    np.testing.assert_array_equal(frames, fake)
+
+    p = tmp_path / "clip.mp4"
+    p.write_bytes(b"\x00")  # routing only; decode goes through the stub
+    vr = VideoReader(str(p))
+    assert len(vr) == f and vr.fps == 24.0
+    np.testing.assert_array_equal(vr.get_batch([1, 2]), fake[1:3])

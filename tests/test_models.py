@@ -83,13 +83,16 @@ def test_basic_transformer_block_double_self_attention():
 def test_spatial_transformer_conv_vs_linear_proj():
     x = jnp.ones((2, 4, 4, 16))
     ctx = jnp.ones((2, 7, 8))
+    # linear projections are the DEFAULT — the reference's block factory
+    # defaults use_linear_projection=True and the UNet never overrides it
+    # (ref unet_3d_blocks.py:136,192; verified via tests/test_torch_parity.py)
     m = SpatialTransformer(heads=2, head_dim=8, context_dim=8, groups=4)
     params, out = _init_and_apply(m, x, ctx)
     assert out.shape == x.shape
-    assert params["params"]["proj_in"]["kernel"].ndim == 4  # conv 1x1
-    m2 = SpatialTransformer(heads=2, head_dim=8, context_dim=8, groups=4, use_linear_projection=True)
+    assert params["params"]["proj_in"]["kernel"].ndim == 2  # linear
+    m2 = SpatialTransformer(heads=2, head_dim=8, context_dim=8, groups=4, use_linear_projection=False)
     params2, out2 = _init_and_apply(m2, x, ctx)
-    assert params2["params"]["proj_in"]["kernel"].ndim == 2  # linear
+    assert params2["params"]["proj_in"]["kernel"].ndim == 4  # conv 1x1
 
 
 def test_temporal_transformer_mixes_frames_not_space():
