@@ -31,10 +31,19 @@ def _rup(a: int, b: int) -> int:
     return -(-a // b) * b
 
 
-def _pick_rows(c: int) -> int:
+def _pick_rows(c: int, n: int | None = None) -> int:
     # fp32-equivalent live set ≈ R·c·(x 1 + h 8 + act 2 + y 1)·4B ≈ 48·R·c
     r = (4 * 2**20) // (48 * _rup(c, 128))
-    return max(8, min(512, (r // 8) * 8))
+    cap = max(8, min(512, (r // 8) * 8))
+    if n is None:
+        return cap
+    # prefer a row count that DIVIDES n: the XLA pad(+slice back) around the
+    # kernel copies the full activation twice otherwise (~1 ms per L0 call,
+    # visible as %pad/%slice pairs in the r2 step profile)
+    for rows in range(cap, 63, -8):
+        if n % rows == 0:
+            return rows
+    return cap
 
 
 def _erf(x):
@@ -48,23 +57,41 @@ def _erf(x):
     return sign * (1.0 - poly * jnp.exp(-ax * ax))
 
 
+# gelu evaluation inside the kernel (sweepable; scripts/geglu_sweep.py):
+# - 'erf_fp32': A&S erf on the fp32 matmul output (original; exact-gelu math
+#   but ~15-20 VPU ops/element incl. a reciprocal + exp — the kernel is
+#   VPU-bound at c=320)
+# - 'tanh': tanh-form gelu (the standard 'approximate' variant) — tanh is a
+#   native EUP op; |Δ| vs exact gelu ≤ 3e-3, on par with the bf16 rounding
+#   the composite model path already applies to the GEGLU hidden
+_GELU_IMPL = "erf_fp32"
+
+
 def _kernel(x_ref, s_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, *,
-            eps: float):
+            eps: float, gelu: str):
     x = x_ref[...].astype(jnp.float32)                     # (R, c)
     mu = jnp.mean(x, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(x - mu), axis=-1, keepdims=True)
     ln = ((x - mu) * jax.lax.rsqrt(var + eps) * s_ref[0] + b_ref[0]).astype(x_ref.dtype)
 
-    h = jax.lax.dot_general(
-        ln, w1_ref[...], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    ) + b1_ref[0]                                          # (R, 8c) fp32
-    inner = h.shape[-1] // 2
-    val, gate = h[:, :inner], h[:, inner:]
-    act = (val * 0.5 * gate * (1.0 + _erf(gate * (2.0 ** -0.5)))).astype(x_ref.dtype)
+    inner = w2_ref.shape[0]
+    # gate half FIRST: its (VPU) gelu chain can overlap the val half's (MXU)
+    # matmul in Mosaic's schedule
+    dotf = functools.partial(
+        jax.lax.dot_general,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    gate = dotf(ln, w1_ref[:, inner:]) + b1_ref[0, inner:]
+    if gelu == "tanh":
+        t = jnp.tanh(0.7978845608028654 * (gate + 0.044715 * gate * gate * gate))
+        gact = 0.5 * gate * (1.0 + t)
+    else:
+        gact = 0.5 * gate * (1.0 + _erf(gate * (2.0 ** -0.5)))
+    val = dotf(ln, w1_ref[:, :inner]) + b1_ref[0, :inner]
+    act = (val * gact).astype(x_ref.dtype)
 
-    y = jax.lax.dot_general(
-        act, w2_ref[...], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    ) + b2_ref[0] + x
+    y = dotf(act, w2_ref[...]) + b2_ref[0] + x
     o_ref[...] = y.astype(o_ref.dtype)
 
 
@@ -76,7 +103,7 @@ def _pallas_ln_geglu(x2, s, b, w1, b1, w2, b2, eps, rows):
     i2 = w1.shape[-1]
     inner = w2.shape[0]
     out = pl.pallas_call(
-        functools.partial(_kernel, eps=eps),
+        functools.partial(_kernel, eps=eps, gelu=_GELU_IMPL),
         grid=(n_pad // rows,),
         in_specs=[
             pl.BlockSpec((rows, c), lambda i: (i, 0)),
@@ -177,7 +204,7 @@ def ln_geglu_ff(
         and c <= 640
     )
     if use_pallas:
-        out = _fused_p(*args, eps, _pick_rows(c))
+        out = _fused_p(*args, eps, _pick_rows(c, x2.shape[0]))
     elif impl == "pallas":
         # perf mode but too wide for the kernel (c=1280 GEGLU hidden is 10240
         # lanes): lean composite — bf16-stored hidden. The exact composite's
