@@ -141,14 +141,44 @@ class ResnetBlock2D(nn.Module):
     out_channels: int
     eps: float = 1e-5
     groups: int = 32
-    impl: Optional[str] = None   # accepted for call-site uniformity; the
-    # fused conv3x3 kernel (ops/conv3x3.py) measured SLOWER than XLA's conv
-    # emitter at every UNet geometry, so the composite path is always used
+    impl: Optional[str] = None   # accepted for call-site uniformity. Both
+    # fused conv3×3 kernels are measured negative results (v1 im2col:
+    # ops/conv3x3.py; v2 whole-sample row-streaming: ops/spatial_conv.py —
+    # ties or loses to XLA's conv emitter at every UNet geometry, see
+    # docs/KERNELS.md), so 'pallas' keeps the composite path unless the
+    # dormant v2 kernel is explicitly re-enabled via AA_SPATIAL_CONV=1.
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, temb: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        from animate_anything_tpu.ops.spatial_conv import (SPATIAL_CONV_OPTIN,
+                                                           gn_silu_spatial_conv)
+
         in_channels = x.shape[-1]
+        if self.impl == "pallas" and SPATIAL_CONV_OPTIN():
+            # fused path: both GN→SiLU→conv stages run as single kernels; the
+            # time-embedding projection folds into stage 1's bias and the
+            # shortcut add into stage 2's residual. Param tree identical to
+            # the composite path (param-only twins).
+            s1, b1 = _GNParams(in_channels, name="norm1")()
+            w1, cb1 = _Conv3x3Params(in_channels, self.out_channels, name="conv1")()
+            teb = None
+            if temb is not None:
+                teb = nn.Dense(self.out_channels, dtype=self.dtype,
+                               name="time_emb_proj")(nn.silu(temb))
+            h = gn_silu_spatial_conv(
+                x, s1, b1, w1, cb1, groups=self.groups, eps=self.eps,
+                extra_bias=teb, impl="pallas")
+            s2, b2 = _GNParams(self.out_channels, name="norm2")()
+            w2, cb2 = _Conv3x3Params(self.out_channels, self.out_channels, name="conv2")()
+            shortcut = x
+            if in_channels != self.out_channels:
+                shortcut = Conv1x1(self.out_channels, dtype=self.dtype,
+                                   name="conv_shortcut")(x)
+            return gn_silu_spatial_conv(
+                h, s2, b2, w2, cb2, groups=self.groups, eps=self.eps,
+                residual=shortcut, impl="pallas")
+
         h = FusedGroupNorm(self.groups, self.eps, silu=True, dtype=self.dtype, name="norm1")(x)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv1")(h)
 

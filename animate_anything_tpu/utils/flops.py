@@ -67,6 +67,75 @@ def decode_flops(frames: int, res: int) -> float:
     return float(low.cost_analysis()["flops"])
 
 
+def train_step_flops(batch: int, frames: int, res: int) -> float:
+    """FLOPs of one full-finetune optimizer step (fwd + bwd + remat recompute
+    + 8-bit Adam), the workload bench_train.py times."""
+    import jax
+    import jax.numpy as jnp
+
+    from animate_anything_tpu.diffusion import make_schedule
+    from animate_anything_tpu.models import UNet3DConditionModel, UNet3DConfig
+    from animate_anything_tpu.train.trainer import (TrainConfig,
+                                                    create_train_state,
+                                                    make_train_step)
+
+    hw = res // 8
+    cfg = UNet3DConfig(motion_mask=True, motion_strength=True,
+                       gradient_checkpointing=True)
+    unet = UNet3DConditionModel(cfg, dtype=jnp.bfloat16)
+    S = jax.ShapeDtypeStruct
+    lat = S((batch, frames, hw, hw, 4), jnp.bfloat16)
+    params = jax.eval_shape(
+        unet.init, jax.random.PRNGKey(0), lat, S((), jnp.int32),
+        S((batch, 77, 1024), jnp.bfloat16),
+        S((batch, 1, hw, hw, 4), jnp.bfloat16),
+        S((batch, 1, hw, hw, 1), jnp.bfloat16), S((batch,), jnp.float32),
+    )
+    tconf = TrainConfig(motion_mask=True, motion_strength=True,
+                        use_8bit_adam=True)
+    state = jax.eval_shape(lambda p: create_train_state(p, tconf), params)
+    batch_d = {
+        "latents": lat,
+        "mask": S((batch, res, res), jnp.float32),
+        "encoder_hidden_states": S((batch, 77, 1024), jnp.bfloat16),
+        "uncond_hidden_states": S((batch, 77, 1024), jnp.bfloat16),
+    }
+    low = jax.jit(make_train_step(unet, make_schedule(), tconf)).lower(
+        state, batch_d, jax.random.PRNGKey(0))
+    return float(low.cost_analysis()["flops"])
+
+
+def svd_flops(frames: int, res: int, steps: int) -> float:
+    """FLOPs of the SVD denoise scan + chunked decode (bench_svd.py's path)."""
+    import jax
+    import jax.numpy as jnp
+
+    from animate_anything_tpu.models.svd_unet import (
+        SVDUNetConfig, UNetSpatioTemporalConditionModel)
+    from animate_anything_tpu.pipelines.svd import (
+        MaskStableVideoDiffusionPipeline)
+
+    hw = res // 8
+    cfg = SVDUNetConfig(in_channels=8)
+    unet = UNetSpatioTemporalConditionModel(cfg, dtype=jnp.bfloat16)
+    S = jax.ShapeDtypeStruct
+    params = jax.eval_shape(
+        unet.init, jax.random.PRNGKey(0),
+        S((1, 2, hw, hw, 8), jnp.bfloat16), S((), jnp.float32),
+        S((1, 1, cfg.cross_attention_dim), jnp.bfloat16), S((1, 3), jnp.float32),
+    )
+    pipe = MaskStableVideoDiffusionPipeline(unet, None, None, None)
+    lat = S((1, frames, hw, hw, 4), jnp.bfloat16)
+    cond2 = S((2, frames, hw, hw, 4), jnp.bfloat16)
+    emb2 = S((2, 1, cfg.cross_attention_dim), jnp.bfloat16)
+    added2 = S((2, 3), jnp.float32)
+    guide = S((1, frames, 1, 1, 1), jnp.float32)
+    low = pipe._denoise_jit.lower(
+        params, lat, cond2, None, emb2, added2, guide,
+        jax.random.PRNGKey(0), num_steps=1)
+    return float(low.cost_analysis()["flops"]) * steps + decode_flops(frames, res)
+
+
 if __name__ == "__main__":
     import argparse
     import os
@@ -79,5 +148,13 @@ if __name__ == "__main__":
     ap.add_argument("--frames", type=int, default=16)
     ap.add_argument("--res", type=int, default=512)
     ap.add_argument("--steps", type=int, default=25)
+    ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--workload", choices=("denoise", "train", "svd"),
+                    default="denoise")
     a = ap.parse_args()
-    print(denoise_flops(a.frames, a.res, a.steps) + decode_flops(a.frames, a.res))
+    if a.workload == "train":
+        print(train_step_flops(a.batch, a.frames, a.res))
+    elif a.workload == "svd":
+        print(svd_flops(a.frames, a.res, a.steps))
+    else:
+        print(denoise_flops(a.frames, a.res, a.steps) + decode_flops(a.frames, a.res))

@@ -496,3 +496,82 @@ def test_gn_silu_conv3x3_grad_finite():
     gx, gw = jax.grad(loss, argnums=(0, 1))(x, w)
     assert np.isfinite(np.asarray(gx)).all() and float(jnp.abs(gx).sum()) > 0
     assert np.isfinite(np.asarray(gw)).all() and float(jnp.abs(gw).sum()) > 0
+
+
+# ---- fused spatial conv3x3 v2 (ops/spatial_conv.py) -------------------------
+
+
+def test_spatial_conv_reference_matches_composite(monkeypatch):
+    """Folded-stats XLA twin equals FusedGroupNorm→SiLU→nn.Conv semantics,
+    and the fused ResnetBlock2D path shares the composite path's param tree.
+    (The kernel is dormant — a measured negative result — so the fused
+    ResnetBlock2D routing needs the AA_SPATIAL_CONV=1 opt-in.)"""
+    from animate_anything_tpu.models.layers import ResnetBlock2D
+
+    monkeypatch.setenv("AA_SPATIAL_CONV", "1")
+    n, res, c = 3, 16, 64
+    x = jax.random.normal(jax.random.PRNGKey(0), (n, res, res, c))
+    temb = jax.random.normal(jax.random.PRNGKey(1), (n, 32))
+    m_ref = ResnetBlock2D(c, groups=8)
+    m_fus = ResnetBlock2D(c, groups=8, impl="pallas")  # CPU → XLA twin path
+    p = m_ref.init(jax.random.PRNGKey(2), x, temb)
+    p2 = m_fus.init(jax.random.PRNGKey(2), x, temb)
+    assert jax.tree_util.tree_structure(p) == jax.tree_util.tree_structure(p2)
+    a = m_ref.apply(p, x, temb)
+    b = m_fus.apply(p, x, temb)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+@pytest.mark.parametrize("hw,cin,cout", [(16, 64, 48), (24, 128, 128)])
+def test_spatial_conv_pallas_kernel_interpret(hw, cin, cout):
+    from animate_anything_tpu.ops import spatial_conv as sc
+
+    n = 2
+    x = jax.random.normal(jax.random.PRNGKey(0), (n, hw, hw, cin))
+    a = jax.random.normal(jax.random.PRNGKey(1), (n, cin)) * 0.1 + 1.0
+    bv = jax.random.normal(jax.random.PRNGKey(2), (n, cin)) * 0.1
+    w9 = jax.random.normal(jax.random.PRNGKey(3), (9, cin, cout)) * 0.05
+    bias = jax.random.normal(jax.random.PRNGKey(4), (n, 1, cout)) * 0.1
+    res = jax.random.normal(jax.random.PRNGKey(5), (n, hw, hw, cout))
+    ref = sc._reference_stage(x, a, bv, w9, bias, res, silu=True)
+    with pltpu.force_tpu_interpret_mode():
+        got = sc._pallas_stage(x, a, bv, w9, bias, res, ch=8, co_ch=cout, silu=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
+def test_spatial_conv_cin_split_interpret():
+    """cin > _CIN_MAX splits into two accumulating kernel calls."""
+    from unittest import mock
+
+    from animate_anything_tpu.ops import spatial_conv as sc
+
+    n, hw, cin, cout = 2, 16, 96, 64
+    x = jax.random.normal(jax.random.PRNGKey(0), (n, hw, hw, cin))
+    s = jax.random.normal(jax.random.PRNGKey(1), (cin,)) * 0.1 + 1.0
+    b = jax.random.normal(jax.random.PRNGKey(2), (cin,)) * 0.1
+    w = jax.random.normal(jax.random.PRNGKey(3), (3, 3, cin, cout)) * 0.05
+    cb = jax.random.normal(jax.random.PRNGKey(4), (cout,)) * 0.1
+    ref = sc.gn_silu_spatial_conv(x, s, b, w, cb, groups=8, impl="xla")
+    fake_tpu = lambda: [type("D", (), {"platform": "tpu"})()]
+    with mock.patch.object(sc, "_CIN_MAX", 80), \
+         mock.patch.object(sc.jax, "devices", fake_tpu), \
+         pltpu.force_tpu_interpret_mode():
+        got = sc.gn_silu_spatial_conv(x, s, b, w, cb, groups=8, impl="pallas")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
+def test_spatial_conv_grad_finite():
+    from animate_anything_tpu.ops.spatial_conv import gn_silu_spatial_conv
+
+    n, hw, c = 1, 16, 32
+    x = jax.random.normal(jax.random.PRNGKey(0), (n, hw, hw, c))
+    w = jax.random.normal(jax.random.PRNGKey(1), (3, 3, c, c)) * 0.05
+
+    def loss(x, w):
+        y = gn_silu_spatial_conv(x, jnp.ones((c,)), jnp.zeros((c,)), w,
+                                 jnp.zeros((c,)), groups=8)
+        return (y ** 2).sum()
+
+    gx, gw = jax.grad(loss, argnums=(0, 1))(x, w)
+    assert np.isfinite(np.asarray(gx)).all() and float(jnp.abs(gx).sum()) > 0
+    assert np.isfinite(np.asarray(gw)).all() and float(jnp.abs(gw).sum()) > 0
