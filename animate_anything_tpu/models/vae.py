@@ -23,7 +23,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from animate_anything_tpu.models.layers import Conv1x1
+from animate_anything_tpu.models.layers import Conv1x1, FusedGroupNorm
 from animate_anything_tpu.ops.attention import attention
 
 
@@ -52,11 +52,12 @@ class VAEResnetBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         in_ch = x.shape[-1]
-        h = nn.GroupNorm(self.groups, epsilon=1e-6, dtype=jnp.float32, name="norm1")(x)
-        h = nn.silu(h)
+        # FusedGroupNorm: stats in fp32, applied as one a·x+b in the storage
+        # dtype — the plain fp32 nn.GroupNorm materialized multi-GB fp32
+        # intermediates at the 512² decoder levels (profiled on v5e).
+        h = FusedGroupNorm(self.groups, eps=1e-6, silu=True, name="norm1")(x)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv1")(h)
-        h = nn.GroupNorm(self.groups, epsilon=1e-6, dtype=jnp.float32, name="norm2")(h)
-        h = nn.silu(h)
+        h = FusedGroupNorm(self.groups, eps=1e-6, silu=True, name="norm2")(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv2")(h)
         if in_ch != self.out_channels:
             x = Conv1x1(self.out_channels, dtype=self.dtype, name="conv_shortcut")(x)
@@ -72,7 +73,7 @@ class VAEAttentionBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         b, hh, ww, c = x.shape
-        h = nn.GroupNorm(self.groups, epsilon=1e-6, dtype=jnp.float32, name="group_norm")(x)
+        h = FusedGroupNorm(self.groups, eps=1e-6, name="group_norm")(x)
         h = h.reshape(b, hh * ww, c)
         q = nn.Dense(c, dtype=self.dtype, name="to_q")(h)
         k = nn.Dense(c, dtype=self.dtype, name="to_k")(h)
@@ -106,8 +107,7 @@ class Encoder(nn.Module):
         h = VAEResnetBlock(ch, groups=g, dtype=self.dtype, name="mid_resnets_0")(h)
         h = VAEAttentionBlock(groups=g, dtype=self.dtype, name="mid_attn")(h)
         h = VAEResnetBlock(ch, groups=g, dtype=self.dtype, name="mid_resnets_1")(h)
-        h = nn.GroupNorm(g, epsilon=1e-6, dtype=jnp.float32, name="conv_norm_out")(h)
-        h = nn.silu(h)
+        h = FusedGroupNorm(g, eps=1e-6, silu=True, name="conv_norm_out")(h)
         return nn.Conv(2 * cfg.latent_channels, (3, 3), padding=1, dtype=self.dtype, name="conv_out")(h)
 
 
@@ -131,11 +131,12 @@ class Decoder(nn.Module):
                                    name=f"up_blocks_{i}_resnets_{j}")(h)
             if i < len(rev) - 1:
                 b, hh, ww, c = h.shape
-                h = jax.image.resize(h, (b, hh * 2, ww * 2, c), method="nearest")
+                # nearest 2× as broadcast+reshape (no gather lowering)
+                h = jnp.broadcast_to(h[:, :, None, :, None, :],
+                                     (b, hh, 2, ww, 2, c)).reshape(b, hh * 2, ww * 2, c)
                 h = nn.Conv(out_ch, (3, 3), padding=1, dtype=self.dtype,
                             name=f"up_blocks_{i}_upsample")(h)
-        h = nn.GroupNorm(g, epsilon=1e-6, dtype=jnp.float32, name="conv_norm_out")(h)
-        h = nn.silu(h)
+        h = FusedGroupNorm(g, eps=1e-6, silu=True, name="conv_norm_out")(h)
         return nn.Conv(cfg.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv_out")(h)
 
 
