@@ -32,32 +32,56 @@ def have_ffmpeg() -> bool:
     return shutil.which("ffmpeg") is not None and shutil.which("ffprobe") is not None
 
 
-def ffmpeg_probe(path: str) -> tuple[int, int, float, int]:
-    """→ (width, height, fps, n_frames) via ffprobe (requires ffmpeg suite)."""
+def ffmpeg_probe(path: str) -> tuple[int, int, float, int, int]:
+    """→ (width, height, fps, n_frames, rotation_deg) via ffprobe.
+
+    ``width``/``height`` are the stream's STORED dims; ``rotation_deg`` is the
+    display-rotation side-data (phone footage). ffmpeg auto-applies that
+    rotation during decode, so the decoded frame dims are swapped when
+    |rotation| % 180 == 90 — ``ffmpeg_read_video`` accounts for this."""
     out = subprocess.run(
         ["ffprobe", "-v", "error", "-select_streams", "v:0", "-show_entries",
-         "stream=width,height,r_frame_rate,nb_frames", "-of", "json", path],
+         "stream=width,height,r_frame_rate,nb_frames,duration"
+         ":stream_side_data=rotation", "-of", "json", path],
         capture_output=True, text=True, check=True,
     ).stdout
     st = json.loads(out)["streams"][0]
     num, den = (st.get("r_frame_rate") or "8/1").split("/")
     fps = float(num) / max(float(den), 1.0)
     n = int(st.get("nb_frames") or 0)
-    return int(st["width"]), int(st["height"]), fps, n
+    if n <= 0 and st.get("duration"):  # some containers omit nb_frames
+        n = int(round(float(st["duration"]) * fps))
+    rot = 0
+    for sd in st.get("side_data_list") or []:
+        if "rotation" in sd:
+            rot = int(round(float(sd["rotation"])))
+    return int(st["width"]), int(st["height"]), fps, n, rot
 
 
-def ffmpeg_read_video(path: str, max_frames: int | None = None) -> tuple[np.ndarray, float]:
-    """Decode a clip to (f, h, w, 3) uint8 via an ffmpeg rawvideo pipe.
+def ffmpeg_read_video(
+    path: str, max_frames: int | None = None, start: int = 0
+) -> tuple[np.ndarray, float]:
+    """Decode frames [start, start+max_frames) to (f, h, w, 3) uint8 via an
+    ffmpeg rawvideo pipe.
 
     The production analog of the reference's decord reader
     (/root/reference/utils/dataset.py:92-105) for real deployment boxes; this
     image ships no ffmpeg binary, so in-image tests exercise it through a
     stubbed subprocess (tests/test_data.py) and real datasets go through the
-    ``compress_video.py frames`` offline prep instead."""
-    w, h, fps, _ = ffmpeg_probe(path)
+    ``compress_video.py frames`` offline prep instead.
+
+    Rotation-tagged clips (phone footage) are auto-rotated by ffmpeg, so the
+    raw stream's frame dims are the display dims — swapped vs the probe's
+    stored dims when the tag is ±90°. Windowed decode keeps host RAM bounded
+    by the requested window, not the clip length."""
+    w, h, fps, _, rot = ffmpeg_probe(path)
+    if rot % 180 != 0:
+        w, h = h, w
     cmd = ["ffmpeg", "-v", "error", "-i", path]
-    if max_frames:
-        cmd += ["-frames:v", str(int(max_frames))]
+    if start or max_frames:
+        end = int(start) + int(max_frames) if max_frames else 2**31 - 1
+        cmd += ["-vf", f"trim=start_frame={int(start)}:end_frame={end},"
+                       "setpts=PTS-STARTPTS"]
     cmd += ["-f", "rawvideo", "-pix_fmt", "rgb24", "-"]
     raw = subprocess.run(cmd, capture_output=True, check=True).stdout
     n = len(raw) // (w * h * 3)
@@ -95,10 +119,12 @@ class VideoReader:
             self._pil = img
             self._files = None
         elif have_ffmpeg():
-            # real-video path (mp4/webm/…): ffmpeg rawvideo pipe
-            self._frames, self._fps = ffmpeg_read_video(path)
-            self._n = len(self._frames)
+            # real-video path (mp4/webm/…): lazy windowed ffmpeg rawvideo
+            # pipe — nothing is decoded until get_batch asks for a window,
+            # so a minute of 1080p no longer lands in host RAM up front
+            _, _, self._fps, self._n, _ = ffmpeg_probe(path)
             self._files = None
+            self._win_start = 0
         else:
             from animate_anything_tpu.utils.media import load_video_frames
 
@@ -114,6 +140,21 @@ class VideoReader:
         return self._fps
 
     def get_batch(self, indices) -> np.ndarray:
+        if hasattr(self, "_win_start"):
+            # lazy ffmpeg path: decode only the [min, max] frame window,
+            # cached across calls while it still covers the request
+            idx = np.asarray(indices)
+            lo, hi = int(idx.min()), int(idx.max())
+            covered = (
+                self._frames is not None
+                and lo >= self._win_start
+                and hi < self._win_start + len(self._frames)
+            )
+            if not covered:
+                self._frames, _ = ffmpeg_read_video(
+                    self.path, max_frames=hi - lo + 1, start=lo)
+                self._win_start = lo
+            return self._frames[idx - self._win_start]
         if self._frames is not None:
             return self._frames[np.asarray(indices)]
         if self._files is not None:

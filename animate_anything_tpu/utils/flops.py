@@ -11,6 +11,78 @@ Prints one line: the total FLOPs of the jitted denoise loop (CFG-doubled UNet
 
 from __future__ import annotations
 
+# Per-chip bf16 matmul peaks (FLOP/s) for the MFU denominator, keyed on
+# substrings of jax's device_kind. Fallback is v5e (this image's chip);
+# AA_PEAK_FLOPS overrides everything (e.g. a kind we don't know yet).
+_PEAK_BF16 = {
+    "v5 lite": 197e12,   # v5e — device_kind reports "TPU v5 lite"
+    "v5litepod": 197e12,
+    "v5e": 197e12,
+    "v5p": 459e12,
+    "v5": 459e12,        # plain "TPU v5" (v5p) — checked after the lite keys
+    "v6 lite": 918e12,   # v6e / Trillium
+    "v6e": 918e12,
+    "v4": 275e12,
+    "v3": 123e12,
+    "v2": 45e12,
+}
+# The honest-baseline estimate: A100 bf16 peak × a realistic diffusion-UNet
+# MFU (40% is generous to the reference — measured torch/diffusers UNet MFUs
+# cluster at 30-40%). BASELINE.md: no published number exists to cite.
+A100_BF16_PEAK = 312e12
+A100_MFU_EST = 0.40
+
+
+def device_peak_flops(device=None) -> float:
+    """bf16 peak FLOP/s of the benching chip, for MFU. Env override
+    AA_PEAK_FLOPS wins; unknown kinds fall back to v5e (warned)."""
+    import os
+
+    if os.environ.get("AA_PEAK_FLOPS"):
+        return float(os.environ["AA_PEAK_FLOPS"])
+    import jax
+
+    d = device if device is not None else jax.devices()[0]
+    kind = str(getattr(d, "device_kind", "")).lower()
+    for key, peak in _PEAK_BF16.items():
+        if key in kind:
+            return peak
+    import sys
+
+    print(f"# unknown device_kind {kind!r}: assuming v5e peak "
+          "(set AA_PEAK_FLOPS to correct)", file=sys.stderr)
+    return 197e12
+
+
+def a100_baseline_sec(flops: float) -> float:
+    """Analytic A100 wall-clock estimate for `flops` (vs_baseline numerator)."""
+    return flops / (A100_BF16_PEAK * A100_MFU_EST)
+
+
+def measured_flops(workload: str, *, frames: int, res: int, steps: int = 25,
+                   batch: int = 1, timeout: int = 900) -> float:
+    """Lower the named workload in a JAX_PLATFORMS=cpu subprocess and return
+    XLA's own FLOP count (HLO cost analysis hangs through the remote-TPU
+    client; CPU lowering of the same program is backend-independent math).
+    Returns nan on any failure — bench scripts degrade to vs_baseline=1.0."""
+    import os
+    import subprocess
+    import sys
+
+    try:
+        env = dict(os.environ, JAX_PLATFORMS="cpu")
+        out = subprocess.run(
+            [sys.executable, "-m", "animate_anything_tpu.utils.flops",
+             "--workload", workload, "--batch", str(batch),
+             "--frames", str(frames), "--res", str(res), "--steps", str(steps)],
+            capture_output=True, text=True, timeout=timeout, env=env,
+            cwd=os.path.dirname(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__)))),
+        )
+        return float(out.stdout.strip().splitlines()[-1])
+    except Exception:
+        return float("nan")
+
 
 def denoise_flops(frames: int, res: int, steps: int) -> float:
     import jax

@@ -127,26 +127,14 @@ def main():
     # per-step UNet ms/frame (2×CFG forwards per step)
     unet_ms_per_frame = sec_per_video / steps / frames * 1000.0
 
-    # analytic A100 baseline from the lowered workload's own FLOP count —
-    # computed in a CPU subprocess (HLO cost analysis hangs on the remote-TPU
-    # client; CPU lowering of the same program is backend-independent math)
-    try:
-        import subprocess
+    # analytic A100 baseline from the lowered workload's own FLOP count,
+    # shared constants + subprocess plumbing in utils/flops.py
+    from animate_anything_tpu.utils.flops import (a100_baseline_sec,
+                                                  measured_flops)
 
-        env = dict(os.environ, JAX_PLATFORMS="cpu")
-        out = subprocess.run(
-            [sys.executable, "-m", "animate_anything_tpu.utils.flops",
-             "--frames", str(frames), "--res", str(res), "--steps", str(steps)],
-            capture_output=True, text=True, timeout=600, env=env,
-            cwd=os.path.dirname(os.path.abspath(__file__)),
-        )
-        flops = float(out.stdout.strip().splitlines()[-1])
-    except Exception:
-        flops = float("nan")
-    if np.isfinite(flops):
-        t_a100 = flops / (312e12 * 0.40)
-    else:
-        t_a100 = float("nan")
+    flops = measured_flops("denoise", frames=frames, res=res, steps=steps,
+                           timeout=600)
+    t_a100 = a100_baseline_sec(flops) if np.isfinite(flops) else float("nan")
     vs_baseline = (t_a100 / sec_per_video) if np.isfinite(t_a100) else 1.0
 
     print(

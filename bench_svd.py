@@ -94,25 +94,16 @@ def main():
     sec_per_video = float(np.median(times))
     unet_ms_per_frame = sec_per_video / steps / frames * 1000.0
 
-    # analytic A100 baseline + MFU from the lowered workload's FLOP count
-    # (CPU subprocess — HLO cost analysis hangs on the remote-TPU client)
-    try:
-        import subprocess
+    # analytic A100 baseline + MFU from the lowered workload's FLOP count,
+    # shared constants + subprocess plumbing in utils/flops.py
+    from animate_anything_tpu.utils.flops import (a100_baseline_sec,
+                                                  device_peak_flops,
+                                                  measured_flops)
 
-        env = dict(os.environ, JAX_PLATFORMS="cpu")
-        out = subprocess.run(
-            [sys.executable, "-m", "animate_anything_tpu.utils.flops",
-             "--workload", "svd", "--frames", str(frames),
-             "--res", str(res), "--steps", str(steps)],
-            capture_output=True, text=True, timeout=900, env=env,
-            cwd=os.path.dirname(os.path.abspath(__file__)),
-        )
-        flops = float(out.stdout.strip().splitlines()[-1])
-    except Exception:
-        flops = float("nan")
-    t_a100 = flops / (312e12 * 0.40) if np.isfinite(flops) else float("nan")
+    flops = measured_flops("svd", frames=frames, res=res, steps=steps)
+    t_a100 = a100_baseline_sec(flops) if np.isfinite(flops) else float("nan")
     vs_baseline = (t_a100 / sec_per_video) if np.isfinite(t_a100) else 1.0
-    mfu = flops / sec_per_video / 197e12 if np.isfinite(flops) else None
+    mfu = flops / sec_per_video / device_peak_flops() if np.isfinite(flops) else None
 
     print(
         f"# times={['%.2f' % t for t in times]} unet_ms_per_frame={unet_ms_per_frame:.1f} "

@@ -94,25 +94,16 @@ def main():
     except Exception:
         pass
 
-    # analytic A100 baseline + MFU from the lowered step's own FLOP count
-    # (CPU subprocess — HLO cost analysis hangs on the remote-TPU client)
-    try:
-        import subprocess
+    # analytic A100 baseline + MFU from the lowered step's own FLOP count,
+    # shared constants + subprocess plumbing in utils/flops.py
+    from animate_anything_tpu.utils.flops import (a100_baseline_sec,
+                                                  device_peak_flops,
+                                                  measured_flops)
 
-        env = dict(os.environ, JAX_PLATFORMS="cpu")
-        out = subprocess.run(
-            [sys.executable, "-m", "animate_anything_tpu.utils.flops",
-             "--workload", "train", "--batch", str(batch),
-             "--frames", str(frames), "--res", str(res)],
-            capture_output=True, text=True, timeout=900, env=env,
-            cwd=os.path.dirname(os.path.abspath(__file__)),
-        )
-        flops = float(out.stdout.strip().splitlines()[-1])
-    except Exception:
-        flops = float("nan")
-    t_a100 = flops / (312e12 * 0.40) if np.isfinite(flops) else float("nan")
+    flops = measured_flops("train", batch=batch, frames=frames, res=res)
+    t_a100 = a100_baseline_sec(flops) if np.isfinite(flops) else float("nan")
     vs_baseline = (t_a100 / sec_per_step) if np.isfinite(t_a100) else 1.0
-    mfu = flops / sec_per_step / 197e12 if np.isfinite(flops) else None
+    mfu = flops / sec_per_step / device_peak_flops() if np.isfinite(flops) else None
 
     print(f"# times={['%.2f' % t for t in times]} peak_hbm_gb={mem} "
           f"flops={flops:.3e} mfu={mfu}", file=sys.stderr)

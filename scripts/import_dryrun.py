@@ -40,25 +40,38 @@ def _flat(tree, prefix=""):
     return out
 
 
-def audit(name: str, imported: dict, params: dict) -> dict:
-    from animate_anything_tpu.utils.import_torch import align_to_params
-
-    new, missing, unexpected = align_to_params(imported, params, strict=False)
+def audit(name: str, imported: dict, param_shapes: dict) -> int:
+    """Non-raising key/shape audit: imported (converted checkpoint tree) vs
+    the model's param SHAPES (from jax.eval_shape — no init cost). Unlike
+    align_to_params it never raises, so the report always prints even for
+    exactly the broken checkpoints this tool exists to triage. Returns the
+    number of problems found."""
+    target = param_shapes.get("params", param_shapes)
+    flat_t = _flat(target)
+    flat_i = _flat(imported)
+    missing = sorted(set(flat_t) - set(flat_i))
+    unexpected = sorted(set(flat_i) - set(flat_t))
+    mismatched = sorted(
+        k for k in set(flat_t) & set(flat_i)
+        if tuple(flat_i[k].shape) != tuple(flat_t[k].shape)
+    )
     print(f"\n== {name} ==")
-    print(f"  model leaves: {len(_flat(params.get('params', params)))}")
+    print(f"  model leaves: {len(flat_t)}")
     print(f"  missing (model param not in checkpoint): {len(missing)}")
     for k in missing[:10]:
         print(f"    - {k}")
     print(f"  unexpected (checkpoint key unmapped):    {len(unexpected)}")
     for k in unexpected[:10]:
         print(f"    + {k}")
-    # shape mismatches raise inside align_to_params; surviving means none
-    flat = _flat(new["params"])
-    rows = sorted(flat.items())
-    print(f"  per-layer L2 norms (first/last 5 of {len(rows)}):")
+    print(f"  shape mismatches:                        {len(mismatched)}")
+    for k in mismatched[:10]:
+        print(f"    ! {k}: ckpt {tuple(flat_i[k].shape)} vs model {tuple(flat_t[k].shape)}")
+    rows = sorted((k, v) for k, v in flat_i.items() if k in flat_t)
+    print(f"  per-layer L2 norms of matched checkpoint leaves "
+          f"(first/last 5 of {len(rows)}):")
     for k, v in rows[:5] + rows[-5:]:
         print(f"    {np.linalg.norm(np.asarray(v, np.float64)):12.4f}  {k}")
-    return new
+    return len(missing) + len(unexpected) + len(mismatched)
 
 
 def main() -> int:
@@ -72,52 +85,79 @@ def main() -> int:
     import jax
     import jax.numpy as jnp
 
-    from animate_anything_tpu.models.factory import build_models
-    from animate_anything_tpu.train.checkpoint import load_pipeline_components
-    from animate_anything_tpu.utils.import_torch import (
-        convert_clip_text,
-        convert_unet3d,
-        convert_vae,
+    from animate_anything_tpu.models import UNet3DConditionModel
+    from animate_anything_tpu.models.clip_text import CLIPTextModel
+    from animate_anything_tpu.models.vae import AutoencoderKL
+    from animate_anything_tpu.models.factory import (
+        _unet_example_args,
+        build_models,
+        clip_config_from_json,
+        unet_config_from_json,
+        vae_config_from_json,
     )
+    from animate_anything_tpu.train.checkpoint import load_pipeline_components
 
     comp = load_pipeline_components(args.pipeline_dir)
     print(f"components found in {args.pipeline_dir}: "
           f"{sorted(k for k in comp if not k.endswith('_config'))}")
 
-    # build randomly-initialized models at the CHECKPOINT's architecture so
-    # the audit runs against the real layer map
-    models = build_models(
-        args.pipeline_dir,
-        motion_mask=True, motion_strength=True,
-    )
-    # build_models already imported; redo the audit verbosely per component
-    raw = {}
-    for name, conv in (("unet", convert_unet3d), ("vae", convert_vae),
-                       ("text_encoder", convert_clip_text)):
-        if name in comp:
-            raw[name] = comp[name]
-
-    params = {"unet": models["unet_params"], "vae": models["vae_params"],
-              "text_encoder": models["text_params"]}
-    for name in raw:
-        audit(name, raw[name], params[name])
+    # --- 1. key/shape audit FIRST, against param shapes at the CHECKPOINT's
+    # architecture (jax.eval_shape — no init, and no strict import that could
+    # crash before the report prints)
+    problems = 0
+    ucfg_json = comp.get("unet_config", {})
+    # real diffusers checkpoints don't carry the motion flags (they're
+    # code-level in the reference) → default True for the flagship model;
+    # our own exports DO carry them → respect the checkpoint
+    motion_ov = {k: True for k in ("motion_mask", "motion_strength")
+                 if k not in ucfg_json}
+    if "unet" in comp:
+        ucfg = unet_config_from_json(ucfg_json, **motion_ov)
+        unet = UNet3DConditionModel(ucfg)
+        shapes = jax.eval_shape(
+            unet.init, jax.random.PRNGKey(0), *_unet_example_args(ucfg, jnp.float32))
+        problems += audit("unet", comp["unet"], shapes)
+    if "vae" in comp:
+        vae = AutoencoderKL(vae_config_from_json(comp.get("vae_config", {})))
+        shapes = jax.eval_shape(
+            vae.init, jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+        problems += audit("vae", comp["vae"], shapes)
+    if "text_encoder" in comp:
+        text = CLIPTextModel(clip_config_from_json(comp.get("text_config", {})))
+        shapes = jax.eval_shape(
+            text.init, jax.random.PRNGKey(0), jnp.zeros((1, 8), jnp.int32))
+        problems += audit("text_encoder", comp["text_encoder"], shapes)
 
     if args.skip_forward:
-        return 0
+        return 1 if problems else 0
 
+    # --- 2. forward smoke via the real import path, guarded so the audit
+    # report above survives a crashing checkpoint
     print("\n== forward smoke (imported UNet, tiny latents) ==")
+    try:
+        models = build_models(args.pipeline_dir, **{
+            k: bool(ucfg_json.get(k, True))
+            for k in ("motion_mask", "motion_strength")})
+    except Exception as e:
+        print(f"  build_models FAILED: {type(e).__name__}: {e}")
+        return 1
+    mcfg = models["unet_config"]
     rng = np.random.default_rng(0)
     b, f, hw = 1, 2, 16
-    sample = jnp.asarray(rng.standard_normal((b, f, hw, hw, 4)), jnp.float32)
+    sample = jnp.asarray(
+        rng.standard_normal((b, f, hw, hw, mcfg.in_channels)), jnp.float32)
     cond = sample[:, :1]
-    mask = jnp.ones((b, 1, hw, hw, 1))
+    mask = jnp.ones((b, 1, hw, hw, 1)) if mcfg.motion_mask else None
     ehs = jnp.asarray(
-        rng.standard_normal((b, 77, models["unet_config"].cross_attention_dim)),
-        jnp.float32)
-    motion = jnp.full((b,), 5.0)
-    out = jax.jit(models["unet"].apply)(
-        models["unet_params"], sample, jnp.asarray(500), ehs, cond, mask, motion)
-    out = np.asarray(out)
+        rng.standard_normal((b, 77, mcfg.cross_attention_dim)), jnp.float32)
+    motion = jnp.full((b,), 5.0) if mcfg.motion_strength else None
+    try:
+        out = np.asarray(jax.jit(models["unet"].apply)(
+            models["unet_params"], sample, jnp.asarray(500), ehs, cond, mask,
+            motion))
+    except Exception as e:
+        print(f"  forward FAILED: {type(e).__name__}: {e}")
+        return 1
     print(f"  out shape {out.shape}, norm {np.linalg.norm(out):.4f}, "
           f"finite={np.isfinite(out).all()}")
     if not np.isfinite(out).all():

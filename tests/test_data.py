@@ -2,6 +2,7 @@
 
 import json
 import os
+import re
 
 import numpy as np
 import pytest
@@ -241,13 +242,21 @@ def test_ffmpeg_decode_path(monkeypatch, tmp_path):
         def __init__(self, stdout):
             self.stdout = stdout
 
+    calls = []
+
     def fake_run(cmd, capture_output=True, check=True, text=False):
         if cmd[0] == "ffprobe":
             return R(json.dumps({"streams": [{
                 "width": w, "height": h, "r_frame_rate": "24/1",
                 "nb_frames": str(f)}]}))
         assert cmd[0] == "ffmpeg" and cmd[-1] == "-"
-        return R(fake.tobytes())
+        calls.append(cmd)
+        lo, hi = 0, f
+        if "-vf" in cmd:  # honor the trim window like real ffmpeg
+            m = re.search(r"trim=start_frame=(\d+):end_frame=(\d+)",
+                          cmd[cmd.index("-vf") + 1])
+            lo, hi = int(m.group(1)), min(int(m.group(2)), f)
+        return R(fake[lo:hi].tobytes())
 
     monkeypatch.setattr(video_io.subprocess, "run", fake_run)
     monkeypatch.setattr(video_io.shutil, "which", lambda _: "/usr/bin/stub")
@@ -258,6 +267,42 @@ def test_ffmpeg_decode_path(monkeypatch, tmp_path):
 
     p = tmp_path / "clip.mp4"
     p.write_bytes(b"\x00")  # routing only; decode goes through the stub
+    calls.clear()
     vr = VideoReader(str(p))
     assert len(vr) == f and vr.fps == 24.0
+    assert not calls  # lazy: constructing the reader decodes nothing
     np.testing.assert_array_equal(vr.get_batch([1, 2]), fake[1:3])
+    assert len(calls) == 1 and "start_frame=1" in calls[0][calls[0].index("-vf") + 1]
+    np.testing.assert_array_equal(vr.get_batch([2]), fake[2:3])
+    assert len(calls) == 1  # covered by the cached window — no re-decode
+    np.testing.assert_array_equal(vr.get_batch([0, 4]), fake[[0, 4]])
+    assert len(calls) == 2  # outside the window → one new windowed decode
+
+
+def test_ffmpeg_rotation_aware_reshape(monkeypatch):
+    """Phone footage carries a display-rotation tag: ffprobe reports the
+    STORED dims while ffmpeg auto-rotates the decoded frames, so a ±90° clip
+    must be reshaped with swapped w/h or every frame comes out garbled."""
+    from animate_anything_tpu.data import video_io
+
+    w_stored, h_stored, f = 8, 6, 3  # landscape container, portrait display
+    rng = np.random.default_rng(7)
+    rotated = (rng.random((f, w_stored, h_stored, 3)) * 255).astype(np.uint8)
+
+    class R:
+        def __init__(self, stdout):
+            self.stdout = stdout
+
+    def fake_run(cmd, capture_output=True, check=True, text=False):
+        if cmd[0] == "ffprobe":
+            return R(json.dumps({"streams": [{
+                "width": w_stored, "height": h_stored, "r_frame_rate": "30/1",
+                "nb_frames": str(f),
+                "side_data_list": [{"side_data_type": "Display Matrix",
+                                    "rotation": -90}]}]}))
+        return R(rotated.tobytes())  # ffmpeg output is already auto-rotated
+
+    monkeypatch.setattr(video_io.subprocess, "run", fake_run)
+    frames, fps = video_io.ffmpeg_read_video("phone.mp4")
+    assert frames.shape == (f, w_stored, h_stored, 3)  # h/w swapped
+    np.testing.assert_array_equal(frames, rotated)

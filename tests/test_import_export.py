@@ -5,6 +5,8 @@ strict align) proves the naming/layout maps are mutually consistent and cover
 every parameter; loading a real reference checkpoint exercises the same path.
 """
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -218,3 +220,65 @@ def test_clip_vision_torch_roundtrip():
     imported = convert_clip_vision(sd)
     aligned, missing, unexpected = align_to_params(imported, params, strict=True)
     assert not missing and not unexpected
+
+
+def test_import_dryrun_tool(tmp_path, capsys):
+    """scripts/import_dryrun.py (VERDICT r1 #10): the audit must print its
+    full key/shape report BEFORE any strict import can crash — including on
+    deliberately broken checkpoints — and exit nonzero on problems."""
+    import importlib.util
+
+    from animate_anything_tpu.models.factory import build_models
+    from animate_anything_tpu.train.checkpoint import save_pipeline
+
+    spec = importlib.util.spec_from_file_location(
+        "import_dryrun",
+        os.path.join(os.path.dirname(__file__), "..", "scripts", "import_dryrun.py"),
+    )
+    dryrun = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(dryrun)
+
+    models = build_models(model_size="tiny", motion_mask=True,
+                          motion_strength=True)
+    pipe_dir = tmp_path / "pipe"
+    save_pipeline(
+        str(pipe_dir), models["unet_params"], models["unet_config"],
+        models["vae_params"], models["vae_config"],
+        models["text_params"], models["text_config"],
+    )
+
+    # clean self-exported checkpoint → audit green, forward smoke runs
+    import sys
+    argv = sys.argv
+    try:
+        sys.argv = ["import_dryrun.py", str(pipe_dir)]
+        rc = dryrun.main()
+    finally:
+        sys.argv = argv
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "missing (model param not in checkpoint): 0" in out
+    assert "shape mismatches:                        0" in out
+    assert "forward smoke" in out and "finite=True" in out
+
+    # corrupt the unet safetensors: drop one tensor, break another's shape —
+    # the report must still print (the old tool crashed in build_models first)
+    from safetensors import safe_open
+    from safetensors.numpy import save_file
+
+    st_path = pipe_dir / "unet" / "diffusion_pytorch_model.safetensors"
+    with safe_open(str(st_path), framework="np") as f:
+        sd = {k: f.get_tensor(k) for k in f.keys()}
+    keys = sorted(sd)
+    del sd[keys[0]]
+    sd[keys[1]] = np.zeros((3, 3), np.float32)
+    save_file(sd, str(st_path))
+
+    try:
+        sys.argv = ["import_dryrun.py", str(pipe_dir)]
+        rc = dryrun.main()
+    finally:
+        sys.argv = argv
+    out = capsys.readouterr().out
+    assert rc == 1
+    assert "== unet ==" in out  # audit report printed despite the breakage
