@@ -198,15 +198,12 @@ def gn_silu_conv3x3(
     """One resnet stage: GroupNorm → SiLU → conv3×3 (+ per-sample bias)."""
     n, H, W, cin = x.shape
     cout = w.shape[-1]
-    # ---- stats + affine fold (XLA, fp32)
-    xg = x.reshape(n, H * W, groups, cin // groups)
-    mean = jnp.mean(xg, axis=(1, 3), dtype=jnp.float32)
-    var = jnp.mean(jnp.square(xg.astype(jnp.float32)), axis=(1, 3)) - mean * mean
-    inv = jax.lax.rsqrt(jnp.maximum(var, 0.0) + eps)
-    inv_c = jnp.repeat(inv, cin // groups, axis=1)
-    mean_c = jnp.repeat(mean, cin // groups, axis=1)
-    a = inv_c * gn_scale.astype(jnp.float32)[None, :]
-    b = gn_bias.astype(jnp.float32)[None, :] - mean_c * a
+    # ---- stats + affine fold (XLA, fp32; channel-first reduction — see
+    # ops/group_norm.py group_affine)
+    from animate_anything_tpu.ops.group_norm import group_affine
+
+    a, b = group_affine(x.reshape(n, H * W, cin), gn_scale, gn_bias,
+                        groups, eps)
 
     bias_pb = jnp.broadcast_to(bias.astype(jnp.float32)[None, :], (n, cout))
     if extra_bias is not None:

@@ -173,15 +173,12 @@ def gn_silu_tap_conv(
     conv (zero-padded), optionally + residual. Stats are per (batch, group)
     over (f, s, c/groups) — torch GroupNorm semantics on (b,c,f,h,w)."""
     bsz, f, s, cin = x.shape
-    # ---- stats + affine fold (XLA, fp32)
-    xg = x.reshape(bsz, f * s, groups, cin // groups)
-    mean = jnp.mean(xg, axis=(1, 3), dtype=jnp.float32)                  # (b, g)
-    var = jnp.mean(jnp.square(xg.astype(jnp.float32)), axis=(1, 3)) - mean * mean
-    inv = jax.lax.rsqrt(jnp.maximum(var, 0.0) + eps)
-    inv_c = jnp.repeat(inv, cin // groups, axis=1)                       # (b, c)
-    mean_c = jnp.repeat(mean, cin // groups, axis=1)
-    a = inv_c * gn_scale.astype(jnp.float32)[None, :]
-    b = gn_bias.astype(jnp.float32)[None, :] - mean_c * a
+    # ---- stats + affine fold (XLA, fp32; channel-first lane-preserving
+    # reduction — see ops/group_norm.py group_affine)
+    from animate_anything_tpu.ops.group_norm import group_affine
+
+    a, b = group_affine(x.reshape(bsz, f * s, cin), gn_scale, gn_bias,
+                        groups, eps)
 
     w = w.astype(x.dtype)
     bias = bias.astype(jnp.float32)

@@ -18,7 +18,10 @@ def main():
     from animate_anything_tpu.utils.fast_init import init_params_host
 
     enable_compilation_cache()
-    frames, res, steps = 16, 512, 25
+    import os
+
+    frames, res = 16, 512
+    steps = int(os.environ.get("BENCH_STEPS", 25))
     hw = res // 8
     cfg = UNet3DConfig(motion_mask=True, motion_strength=True, attn_impl="pallas")
     unet = UNet3DConditionModel(cfg, dtype=jnp.bfloat16)
