@@ -333,7 +333,7 @@ class TemporalTransformer(nn.Module):
 
     def _delta(self, x: jnp.ndarray, num_frames: int) -> jnp.ndarray:
         from animate_anything_tpu.ops.temporal_block import (
-            fused_ok, pack_frames, pack_geometry, unpack_frames)
+            bfsc_ok, fused_ok, pack_frames, pack_geometry, unpack_frames)
 
         # x: (b*f, h, w, c) → (b, f, h·w, c); attention along axis 1
         bf, hh, ww, c = x.shape
@@ -348,15 +348,20 @@ class TemporalTransformer(nn.Module):
 
         use_fused = self.attn_impl == "pallas" and fused_ok(
             num_frames, inner, self.heads, self.head_dim)
-        geom = pack_geometry(num_frames, hh * ww) if use_fused else None
-        if use_fused:
+        # transpose-free variant: kernels read the natural (b, f, s, c)
+        # layout directly, no HBM pack/unpack passes
+        use_bfsc = use_fused and bfsc_ok(
+            num_frames, hh * ww, inner, self.heads, self.head_dim)
+        geom = (pack_geometry(num_frames, hh * ww)
+                if use_fused and not use_bfsc else None)
+        if geom is not None:
             h = pack_frames(h, geom)
         for i in range(self.num_layers):
             h = TemporalBasicBlock(
                 self.heads, self.head_dim, attn_impl=self.attn_impl,
                 dtype=self.dtype, name=f"transformer_blocks_{i}",
-            )(h, packed_geom=geom)
-        if use_fused:
+            )(h, packed_geom=geom, bfsc=use_bfsc)
+        if geom is not None:
             h = unpack_frames(h, geom)
 
         h = nn.Dense(c, dtype=self.dtype, name="proj_out")(h)
@@ -378,18 +383,26 @@ class TemporalBasicBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, h: jnp.ndarray, packed_geom=None) -> jnp.ndarray:
-        if packed_geom is not None:
-            from animate_anything_tpu.ops.temporal_block import fused_temporal_attn_block
+    def __call__(self, h: jnp.ndarray, packed_geom=None,
+                 bfsc: bool = False) -> jnp.ndarray:
+        if packed_geom is not None or bfsc:
+            from animate_anything_tpu.ops.temporal_block import (
+                fused_temporal_attn_block, fused_temporal_block_bfsc)
 
             c = h.shape[-1]
             for ln_name, attn_name in (("norm1", "attn1"), ("norm2", "attn2")):
                 s, b = _LNParams(c, name=ln_name)()
                 wq, wk, wv, wo, bo = _TemporalAttnParams(c, c, name=attn_name)()
-                h = fused_temporal_attn_block(
-                    h.astype(self.dtype), s, b, wq, wk, wv, wo, bo,
-                    geom=packed_geom, heads=self.heads, head_dim=self.head_dim,
-                )
+                if bfsc:
+                    h = fused_temporal_block_bfsc(
+                        h.astype(self.dtype), s, b, wq, wk, wv, wo, bo,
+                        heads=self.heads, head_dim=self.head_dim,
+                    )
+                else:
+                    h = fused_temporal_attn_block(
+                        h.astype(self.dtype), s, b, wq, wk, wv, wo, bo,
+                        geom=packed_geom, heads=self.heads, head_dim=self.head_dim,
+                    )
             from animate_anything_tpu.ops.geglu import ln_geglu_ff
 
             s3, b3 = _LNParams(c, name="norm3")()

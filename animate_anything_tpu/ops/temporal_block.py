@@ -37,6 +37,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -266,6 +267,232 @@ def _build(geom: PackGeometry, heads: int, d: int, c: int, eps: float,
         return out[:, :t_in] if t_pad != t_in else out
 
     return forward
+
+
+# ---------------------------------------------------------------------------
+# bfsc variant: in-kernel pack/unpack.
+#
+# The packed entry above needs the caller to materialize the packed token
+# layout in HBM (pad → 5-d transpose → pad → and back), ~5 full passes over
+# the activation per temporal site — profiled at ~15-20 ms of the 512px UNet
+# step. But a pack's data (p consecutive locations × all f frames) is a
+# CONTIGUOUS block of the natural (b, f, s, c) array: BlockSpec
+# (1, f, nblk·p, c) fetches it directly, and the frame-major row shuffle the
+# MXU wants is done in VMEM (sublane copies, no HBM traffic). The s-edge
+# block (s % (nblk·p) ≠ 0) reads garbage locations past the array edge;
+# that's safe because a real row only ever attends keys of its OWN location
+# slot (row ≡ col mod p) — garbage stays confined to garbage rows, whose
+# writes Mosaic's ragged-edge handling discards — provided the mask is a
+# select, not an additive -1e30 (NaN + -1e30 = NaN would leak garbage into
+# real rows' softmax).
+# ---------------------------------------------------------------------------
+
+
+def _kernel_bfsc(x_ref, lns_ref, lnb_ref, wq_ref, wk_ref, wv_ref, wo_ref,
+                 bo_ref, o_ref, xbuf, obuf, *, f: int, p: int, R: int,
+                 Rp: int, nblk: int, heads: int, d: int, eps: float):
+    # pack shuffle: (f, nblk·p, c) natural → (nblk·Rp, c) frame-major rows
+    for i in range(nblk):
+        for fr in range(f):
+            r0 = i * Rp + fr * p
+            xbuf[r0:r0 + p, :] = x_ref[0, fr, i * p:(i + 1) * p, :]
+        if Rp != R:
+            xbuf[i * Rp + R:(i + 1) * Rp, :] = jnp.zeros(
+                (Rp - R, x_ref.shape[-1]), x_ref.dtype)
+
+    x = xbuf[...]
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
+    ln = ((xf - mu) * jax.lax.rsqrt(var + eps) * lns_ref[0] + lnb_ref[0]).astype(x.dtype)
+
+    dot = functools.partial(
+        jax.lax.dot_general,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    q = dot(ln, wq_ref[...]).astype(x.dtype)
+    k = dot(ln, wk_ref[...]).astype(x.dtype)
+    v = dot(ln, wv_ref[...]).astype(x.dtype)
+
+    row = jax.lax.broadcasted_iota(jnp.int32, (Rp, Rp), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (Rp, Rp), 1)
+    valid = ((row % p) == (col % p)) & (col < R)
+    scale = 1.0 / d ** 0.5
+
+    for i in range(nblk):
+        for hi in range(heads):
+            qi = q[i * Rp:(i + 1) * Rp, hi * d:(hi + 1) * d]
+            ki = k[i * Rp:(i + 1) * Rp, hi * d:(hi + 1) * d]
+            vi = v[i * Rp:(i + 1) * Rp, hi * d:(hi + 1) * d]
+            sc = jax.lax.dot_general(
+                qi, ki, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            # select-mask (NOT additive): edge-block garbage keys may be NaN
+            sc = jnp.where(valid, sc * scale, -1e30)
+            e = jnp.exp(sc - jnp.max(sc, axis=-1, keepdims=True))
+            o = jnp.dot(e.astype(vi.dtype), vi, preferred_element_type=jnp.float32)
+            o = o / jnp.sum(e, axis=-1, keepdims=True)
+            obuf[i * Rp:(i + 1) * Rp, hi * d:(hi + 1) * d] = o.astype(obuf.dtype)
+
+    out = (dot(obuf[...], wo_ref[...]) + bo_ref[0] + xf).astype(o_ref.dtype)
+    # unpack shuffle: packed rows → (f, nblk·p, c); pack pad rows dropped
+    for i in range(nblk):
+        for fr in range(f):
+            r0 = i * Rp + fr * p
+            o_ref[0, fr, i * p:(i + 1) * p, :] = out[r0:r0 + p, :]
+
+
+def _reference_bfsc(x, lns, lnb, wq, wk, wv, wo, bo, *, heads: int, d: int,
+                    eps: float = 1e-5):
+    """Exact XLA twin on the natural (b, f, s, c) layout: per-location frame
+    attention (what the packed mask computes on real rows). Used as the
+    custom_vjp remat target and the non-TPU fallback."""
+    b, f, s, c = x.shape
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
+    ln = ((xf - mu) * jax.lax.rsqrt(var + eps) * lns + lnb).astype(x.dtype)
+
+    def proj(w):
+        y = jnp.einsum("bfsc,cD->bfsD", ln, w, preferred_element_type=jnp.float32)
+        return y.astype(x.dtype).reshape(b, f, s, heads, d)
+
+    q, k, v = proj(wq), proj(wk), proj(wv)
+    sc = jnp.einsum("bfshd,bgshd->bshfg", q, k,
+                    preferred_element_type=jnp.float32) * (1.0 / d ** 0.5)
+    probs = jax.nn.softmax(sc, axis=-1)
+    o = jnp.einsum("bshfg,bgshd->bfshd", probs.astype(v.dtype), v,
+                   preferred_element_type=jnp.float32).astype(x.dtype)
+    o = o.reshape(b, f, s, heads * d)
+    out = jnp.einsum("btsc,cD->btsD", o, wo, preferred_element_type=jnp.float32)
+    return (out + bo + xf).astype(x.dtype)
+
+
+def _bfsc_geometry(f: int, s: int, c: int) -> Optional[tuple]:
+    """(p, R, Rp, nblk) for the bfsc kernel, or None when it doesn't fit:
+    nblk·p must be a sublane multiple (BlockSpec last-two-dims rule) and the
+    VMEM working set must stay inside the scoped budget."""
+    import math
+
+    p = max(1, _LANE // f)
+    base = 8 // math.gcd(p, 8)   # nblk·p must be a multiple of 8 sublanes
+    nblk = base * _cdiv(_pick_nblk(c, 10**9), base)
+    while nblk > base and nblk * p > s:
+        nblk -= base
+    R, Rp = p * f, _rup(p * f, 8)
+    if nblk * p > s:
+        return None
+    # double-buffered in+out blocks + packed scratch + weights + value stack
+    # (xf/out fp32 + ln/q/k/v bf16 ≈ 16 B/row-elem). Measured: c=512 compiles
+    # (≈15.9M of the 16M scoped limit), c=640 OOMs at 19.83M.
+    blk = f * nblk * p * c * 2
+    scratch = nblk * Rp * 2 * c * 2
+    weights = 4 * c * c * 2
+    stack = nblk * Rp * c * 16
+    if 4 * blk + scratch + weights + stack > 16 * 2**20:
+        return None
+    return p, R, Rp, nblk
+
+
+@functools.lru_cache(maxsize=64)
+def _build_bfsc(f: int, s: int, heads: int, d: int, c: int, eps: float):
+    p, R, Rp, nblk = _bfsc_geometry(f, s, c)
+    n_sblk = _cdiv(s, nblk * p)
+
+    vspec = pl.BlockSpec((1, c), lambda bi, ni: (0, 0))
+    wqspec = pl.BlockSpec((c, c), lambda bi, ni: (0, 0))
+
+    def forward(x, lns, lnb, wq, wk, wv, wo, bo):
+        b = x.shape[0]
+        return pl.pallas_call(
+            functools.partial(_kernel_bfsc, f=f, p=p, R=R, Rp=Rp, nblk=nblk,
+                              heads=heads, d=d, eps=eps),
+            grid=(b, n_sblk),
+            in_specs=[
+                pl.BlockSpec((1, f, nblk * p, c), lambda bi, ni: (bi, 0, ni, 0)),
+                vspec, vspec, wqspec, wqspec, wqspec, wqspec, vspec,
+            ],
+            out_specs=pl.BlockSpec((1, f, nblk * p, c),
+                                   lambda bi, ni: (bi, 0, ni, 0)),
+            out_shape=jax.ShapeDtypeStruct((b, f, s, c), x.dtype),
+            scratch_shapes=[pltpu.VMEM((nblk * Rp, c), x.dtype),
+                            pltpu.VMEM((nblk * Rp, c), x.dtype)],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "arbitrary"),
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * b * f * s * 4 * c * c + 4 * b * s * f * Rp // p * c,
+                bytes_accessed=2 * b * f * s * c * 2,
+                transcendentals=b * s * f * Rp // p * heads,
+            ),
+        )(x, lns, lnb, wq, wk, wv, wo, bo)
+
+    return forward
+
+
+@functools.lru_cache(maxsize=64)
+def _build_vjp_bfsc(f: int, s: int, heads: int, d: int, c: int, eps: float):
+    forward = _build_bfsc(f, s, heads, d, c, eps)
+    ref = functools.partial(_reference_bfsc, heads=heads, d=d, eps=eps)
+
+    @jax.custom_vjp
+    def fused(x, lns, lnb, wq, wk, wv, wo, bo):
+        return forward(x, lns, lnb, wq, wk, wv, wo, bo)
+
+    def fwd(*args):
+        return forward(*args), args
+
+    def bwd(res, gout):
+        _, vjp = jax.vjp(ref, *res)
+        return vjp(gout)
+
+    fused.defvjp(fwd, bwd)
+    return fused
+
+
+def bfsc_ok(f: int, s: int, c: int, heads: int, head_dim: int) -> bool:
+    """Gate for the transpose-free (b, f, s, c) fused temporal block."""
+    if not fused_ok(f, c, heads, head_dim):
+        return False
+    if _n_head_groups(c, heads) != 1:
+        return False
+    return _bfsc_geometry(f, s, c) is not None
+
+
+def fused_temporal_block_bfsc(
+    x: jnp.ndarray,
+    ln_scale: jnp.ndarray,
+    ln_bias: jnp.ndarray,
+    wq: jnp.ndarray,
+    wk: jnp.ndarray,
+    wv: jnp.ndarray,
+    wo: jnp.ndarray,
+    bo: jnp.ndarray,
+    *,
+    heads: int,
+    head_dim: int,
+    eps: float = 1e-5,
+    impl: str = "pallas",
+) -> jnp.ndarray:
+    """LN → QKV → per-location frame attention → out-proj → +residual on the
+    NATURAL (b, f, s, c) layout — no HBM pack/unpack passes (the row shuffle
+    happens in VMEM inside the kernel). Same math and param tree as
+    fused_temporal_attn_block."""
+    b, f, s, c = x.shape
+    if heads * head_dim != c:
+        raise ValueError(f"fused block needs heads*head_dim == c, got {heads}x{head_dim} vs {c}")
+    dt = x.dtype
+    args = (
+        x,
+        ln_scale.reshape(1, c).astype(jnp.float32),
+        ln_bias.reshape(1, c).astype(jnp.float32),
+        wq.astype(dt), wk.astype(dt), wv.astype(dt), wo.astype(dt),
+        bo.reshape(1, c).astype(jnp.float32),
+    )
+    if impl != "pallas" or jax.devices()[0].platform not in ("tpu", "axon"):
+        return _reference_bfsc(*args, heads=heads, d=head_dim, eps=eps)
+    return _build_vjp_bfsc(f, s, heads, head_dim, c, eps)(*args)
 
 
 def _n_head_groups(c: int, heads: int) -> int:

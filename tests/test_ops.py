@@ -304,6 +304,62 @@ def test_fused_temporal_block_equals_unfused_module():
     assert all(np.isfinite(np.asarray(l)).all() for l in jax.tree_util.tree_leaves(g))
 
 
+def test_fused_temporal_block_bfsc_kernel_matches_reference():
+    """Transpose-free (b, f, s, c) kernel (in-VMEM pack shuffle) vs the
+    per-location XLA twin, on a geometry with a pad row (f=17 → Rp>R) and a
+    ragged s edge (s not divisible by nblk·p)."""
+    from animate_anything_tpu.ops.temporal_block import (
+        _bfsc_geometry, _reference_bfsc, fused_temporal_block_bfsc)
+
+    c, heads, d, f, s = 128, 2, 64, 17, 120   # p=7 → ragged s edge
+    geo = _bfsc_geometry(f, s, c)
+    assert geo is not None and geo[0] == 7 and geo[3] * geo[0] < s
+    ks = jax.random.split(jax.random.PRNGKey(0), 8)
+    x = jax.random.normal(ks[0], (2, f, s, c))
+    lns = jax.random.normal(ks[1], (c,)) * 0.1 + 1
+    lnb = jax.random.normal(ks[2], (c,)) * 0.1
+    ws = [jax.random.normal(k, (c, c)) * c ** -0.5 for k in ks[3:7]]
+    bo = jax.random.normal(ks[7], (c,)) * 0.1
+
+    ref = fused_temporal_block_bfsc(
+        x, lns, lnb, *ws, bo, heads=heads, head_dim=d, impl="xla")
+    with pltpu.force_tpu_interpret_mode():
+        out = fused_temporal_block_bfsc(
+            x, lns, lnb, *ws, bo, heads=heads, head_dim=d, impl="pallas")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
+
+    # the bfsc reference equals the packed-layout reference on real rows
+    from animate_anything_tpu.ops.temporal_block import (
+        _reference, pack_frames, pack_geometry, unpack_frames)
+
+    g = pack_geometry(f, s)
+    packed = unpack_frames(_reference(
+        pack_frames(x, g), lns.reshape(1, c), lnb.reshape(1, c), *ws,
+        bo.reshape(1, c), geom=g, heads=heads, d=d), g)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(packed), atol=2e-4)
+
+
+def test_fused_temporal_block_bfsc_module_wiring():
+    """TemporalTransformer picks the bfsc path when the geometry allows and
+    matches the xla module; gradients flow and are finite."""
+    from animate_anything_tpu.models.attention import TemporalTransformer
+    from animate_anything_tpu.ops.temporal_block import bfsc_ok
+
+    f, hh, ww, c = 16, 8, 8, 128              # p=8, base=1 → bfsc eligible
+    assert bfsc_ok(f, hh * ww, c, 2, 64)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2 * f, hh, ww, c))
+    m_x = TemporalTransformer(2, 64, attn_impl="xla", dtype=jnp.float32)
+    m_p = TemporalTransformer(2, 64, attn_impl="pallas", dtype=jnp.float32)
+    p_x = m_x.init(jax.random.PRNGKey(1), x, f)
+    p_p = m_p.init(jax.random.PRNGKey(1), x, f)
+    assert jax.tree_util.tree_structure(p_x) == jax.tree_util.tree_structure(p_p)
+    np.testing.assert_allclose(
+        np.asarray(m_p.apply(p_p, x, f)), np.asarray(m_x.apply(p_x, x, f)), atol=5e-5)
+
+    g = jax.grad(lambda p: (m_p.apply(p, x, f) ** 2).sum())(p_p)
+    assert all(np.isfinite(np.asarray(l)).all() for l in jax.tree_util.tree_leaves(g))
+
+
 # ---- fused temporal conv (ops/temporal_conv.py) ----------------------------
 
 def test_gn_silu_tap_conv_reference_matches_composite():
