@@ -289,7 +289,7 @@ def _build(geom: PackGeometry, heads: int, d: int, c: int, eps: float,
 
 
 def _kernel_bfsc(x_ref, lns_ref, lnb_ref, wq_ref, wk_ref, wv_ref, wo_ref,
-                 bo_ref, o_ref, xbuf, obuf, *, f: int, p: int, R: int,
+                 bo_ref, o_ref, xbuf, *, f: int, p: int, R: int,
                  Rp: int, nblk: int, heads: int, d: int, eps: float):
     # pack shuffle: (f, nblk·p, c) natural → (nblk·Rp, c) frame-major rows
     for i in range(nblk):
@@ -300,31 +300,33 @@ def _kernel_bfsc(x_ref, lns_ref, lnb_ref, wq_ref, wk_ref, wv_ref, wo_ref,
             xbuf[i * Rp + R:(i + 1) * Rp, :] = jnp.zeros(
                 (Rp - R, x_ref.shape[-1]), x_ref.dtype)
 
-    x = xbuf[...]
-    xf = x.astype(jnp.float32)
-    mu = jnp.mean(xf, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
-    ln = ((xf - mu) * jax.lax.rsqrt(var + eps) * lns_ref[0] + lnb_ref[0]).astype(x.dtype)
-
     dot = functools.partial(
         jax.lax.dot_general,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    q = dot(ln, wq_ref[...]).astype(x.dtype)
-    k = dot(ln, wk_ref[...]).astype(x.dtype)
-    v = dot(ln, wv_ref[...]).astype(x.dtype)
-
     row = jax.lax.broadcasted_iota(jnp.int32, (Rp, Rp), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (Rp, Rp), 1)
     valid = ((row % p) == (col % p)) & (col < R)
     scale = 1.0 / d ** 0.5
 
+    # per-pack pipeline: the value stack holds one pack's temps (Rp rows)
+    # instead of the whole block's — what lets c=640 fit scoped VMEM
     for i in range(nblk):
+        x = xbuf[i * Rp:(i + 1) * Rp, :]
+        xf = x.astype(jnp.float32)
+        mu = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
+        ln = ((xf - mu) * jax.lax.rsqrt(var + eps) * lns_ref[0] + lnb_ref[0]).astype(x.dtype)
+        q = dot(ln, wq_ref[...]).astype(x.dtype)
+        k = dot(ln, wk_ref[...]).astype(x.dtype)
+        v = dot(ln, wv_ref[...]).astype(x.dtype)
+
+        parts = []
         for hi in range(heads):
-            qi = q[i * Rp:(i + 1) * Rp, hi * d:(hi + 1) * d]
-            ki = k[i * Rp:(i + 1) * Rp, hi * d:(hi + 1) * d]
-            vi = v[i * Rp:(i + 1) * Rp, hi * d:(hi + 1) * d]
+            qi = q[:, hi * d:(hi + 1) * d]
+            ki = k[:, hi * d:(hi + 1) * d]
+            vi = v[:, hi * d:(hi + 1) * d]
             sc = jax.lax.dot_general(
                 qi, ki, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
             )
@@ -332,15 +334,13 @@ def _kernel_bfsc(x_ref, lns_ref, lnb_ref, wq_ref, wk_ref, wv_ref, wo_ref,
             sc = jnp.where(valid, sc * scale, -1e30)
             e = jnp.exp(sc - jnp.max(sc, axis=-1, keepdims=True))
             o = jnp.dot(e.astype(vi.dtype), vi, preferred_element_type=jnp.float32)
-            o = o / jnp.sum(e, axis=-1, keepdims=True)
-            obuf[i * Rp:(i + 1) * Rp, hi * d:(hi + 1) * d] = o.astype(obuf.dtype)
+            parts.append((o / jnp.sum(e, axis=-1, keepdims=True)).astype(x.dtype))
 
-    out = (dot(obuf[...], wo_ref[...]) + bo_ref[0] + xf).astype(o_ref.dtype)
-    # unpack shuffle: packed rows → (f, nblk·p, c); pack pad rows dropped
-    for i in range(nblk):
+        out = (dot(jnp.concatenate(parts, axis=-1), wo_ref[...])
+               + bo_ref[0] + xf).astype(o_ref.dtype)
+        # unpack shuffle: packed rows → (f, p, c) slice; pack pad rows dropped
         for fr in range(f):
-            r0 = i * Rp + fr * p
-            o_ref[0, fr, i * p:(i + 1) * p, :] = out[r0:r0 + p, :]
+            o_ref[0, fr, i * p:(i + 1) * p, :] = out[fr * p:(fr + 1) * p, :]
 
 
 def _reference_bfsc(x, lns, lnb, wq, wk, wv, wo, bo, *, heads: int, d: int,
@@ -383,14 +383,14 @@ def _bfsc_geometry(f: int, s: int, c: int) -> Optional[tuple]:
     R, Rp = p * f, _rup(p * f, 8)
     if nblk * p > s:
         return None
-    # double-buffered in+out blocks + packed scratch + weights + value stack
-    # (xf/out fp32 + ln/q/k/v bf16 ≈ 16 B/row-elem). Measured: c=512 compiles
-    # (≈15.9M of the 16M scoped limit), c=640 OOMs at 19.83M.
+    # double-buffered in+out blocks + pack scratch + weights + value stack
+    # (ONE pack's xf/out fp32 + ln/q/k/v bf16 ≈ 16 B/row-elem — the kernel
+    # pipelines per pack precisely to keep this term small)
     blk = f * nblk * p * c * 2
-    scratch = nblk * Rp * 2 * c * 2
+    scratch = nblk * Rp * c * 2
     weights = 4 * c * c * 2
-    stack = nblk * Rp * c * 16
-    if 4 * blk + scratch + weights + stack > 16 * 2**20:
+    stack = Rp * c * 16
+    if 4 * blk + scratch + weights + stack > 14 * 2**20:
         return None
     return p, R, Rp, nblk
 
@@ -416,8 +416,7 @@ def _build_bfsc(f: int, s: int, heads: int, d: int, c: int, eps: float):
             out_specs=pl.BlockSpec((1, f, nblk * p, c),
                                    lambda bi, ni: (bi, 0, ni, 0)),
             out_shape=jax.ShapeDtypeStruct((b, f, s, c), x.dtype),
-            scratch_shapes=[pltpu.VMEM((nblk * Rp, c), x.dtype),
-                            pltpu.VMEM((nblk * Rp, c), x.dtype)],
+            scratch_shapes=[pltpu.VMEM((nblk * Rp, c), x.dtype)],
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("parallel", "arbitrary"),
             ),
