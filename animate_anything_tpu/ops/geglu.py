@@ -20,6 +20,7 @@ intermediate is never stored).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -129,6 +130,98 @@ def _pallas_ln_geglu(x2, s, b, w1, b1, w2, b2, eps, rows):
     return out[:n] if n_pad != n else out
 
 
+def _wide_kernel(x_ref, s_ref, b_ref, w1v_ref, w1g_ref, b1v_ref, b1g_ref,
+                 w2_ref, b2_ref, o_ref, ln_buf, acc, *, eps: float, gelu: str,
+                 nj: int):
+    """One (row-block, inner-block) step of the N-streamed FF: the (R, 8c)
+    GEGLU hidden never exists — each inner block's val·gelu(gate) slab is
+    folded into the down-projection accumulator immediately."""
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        x = x_ref[...].astype(jnp.float32)
+        mu = jnp.mean(x, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(x - mu), axis=-1, keepdims=True)
+        ln_buf[...] = ((x - mu) * jax.lax.rsqrt(var + eps) * s_ref[0]
+                       + b_ref[0]).astype(ln_buf.dtype)
+        acc[...] = x + b2_ref[0]
+
+    ln = ln_buf[...]
+    dotf = functools.partial(
+        jax.lax.dot_general,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    gate = dotf(ln, w1g_ref[...]) + b1g_ref[0]
+    if gelu == "tanh":
+        t = jnp.tanh(0.7978845608028654 * (gate + 0.044715 * gate * gate * gate))
+        gact = 0.5 * gate * (1.0 + t)
+    else:
+        gact = 0.5 * gate * (1.0 + _erf(gate * (2.0 ** -0.5)))
+    val = dotf(ln, w1v_ref[...]) + b1v_ref[0]
+    act = (val * gact).astype(ln.dtype)
+    acc[...] += dotf(act, w2_ref[...])
+
+    @pl.when(j == nj - 1)
+    def _():
+        o_ref[...] = acc[...].astype(o_ref.dtype)
+
+
+def _pick_rows_wide(c: int, n: int) -> int:
+    # live set ≈ R·c·(x-block 2 + ln 2 + acc 4 + out 2·2) B + streamed weight
+    # blocks; R=256 at c=1280 stays ~13MB with Nb=512
+    cap = max(8, min(256, ((3 * 2**20) // (12 * _rup(c, 128)) // 8) * 8))
+    for rows in range(cap, 63, -8):
+        if n % rows == 0:
+            return rows
+    return cap
+
+
+def _pallas_ln_geglu_wide(x2, s, b, w1, b1, w2, b2, eps, rows):
+    n, c = x2.shape
+    inner = w2.shape[0]
+    nb = 512 if inner % 512 == 0 else 256
+    nj = inner // nb
+    n_pad = _rup(n, rows)
+    if n_pad != n:
+        x2 = jnp.pad(x2, ((0, n_pad - n), (0, 0)))
+    w1v, w1g = w1[:, :inner], w1[:, inner:]
+    b1v, b1g = b1[:inner], b1[inner:]
+    out = pl.pallas_call(
+        functools.partial(_wide_kernel, eps=eps, gelu=_GELU_IMPL, nj=nj),
+        grid=(n_pad // rows, nj),
+        in_specs=[
+            pl.BlockSpec((rows, c), lambda i, j: (i, 0)),
+            pl.BlockSpec((1, c), lambda i, j: (0, 0)),
+            pl.BlockSpec((1, c), lambda i, j: (0, 0)),
+            pl.BlockSpec((c, nb), lambda i, j: (0, j)),
+            pl.BlockSpec((c, nb), lambda i, j: (0, j)),
+            pl.BlockSpec((1, nb), lambda i, j: (0, j)),
+            pl.BlockSpec((1, nb), lambda i, j: (0, j)),
+            pl.BlockSpec((nb, c), lambda i, j: (j, 0)),
+            pl.BlockSpec((1, c), lambda i, j: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((rows, c), lambda i, j: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((n_pad, c), x2.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((rows, c), x2.dtype),
+            pltpu.VMEM((rows, c), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n_pad * c * (w1.shape[-1] + inner),
+            bytes_accessed=2 * n_pad * c * x2.dtype.itemsize
+            + 3 * c * inner * x2.dtype.itemsize,
+            transcendentals=n_pad * inner,
+        ),
+    )(x2, s.reshape(1, c), b.reshape(1, c), w1v, w1g,
+      b1v.reshape(1, inner), b1g.reshape(1, inner), w2, b2.reshape(1, c))
+    return out[:n] if n_pad != n else out
+
+
 def _reference(x2, s, b, w1, b1, w2, b2, eps):
     xf = x2.astype(jnp.float32)
     mu = jnp.mean(xf, axis=-1, keepdims=True)
@@ -178,6 +271,19 @@ def _bwd(eps, rows, res, g):
 _fused_p.defvjp(_fwd, _bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+def _fused_wide_p(x2, s, b, w1, b1, w2, b2, eps, rows):
+    return _pallas_ln_geglu_wide(x2, s, b, w1, b1, w2, b2, eps, rows)
+
+
+def _fwd_wide(x2, s, b, w1, b1, w2, b2, eps, rows):
+    return (_pallas_ln_geglu_wide(x2, s, b, w1, b1, w2, b2, eps, rows),
+            (x2, s, b, w1, b1, w2, b2))
+
+
+_fused_wide_p.defvjp(_fwd_wide, _bwd)
+
+
 def ln_geglu_ff(
     x: jnp.ndarray,            # (..., c)
     ln_scale: jnp.ndarray,     # (c,) fp32
@@ -203,12 +309,25 @@ def ln_geglu_ff(
         and jax.devices()[0].platform in ("tpu", "axon")
         and c <= 640
     )
+    wide_ok = (
+        impl == "pallas"
+        and os.environ.get("AA_WIDE_FF", "0") == "1"
+        and jax.devices()[0].platform in ("tpu", "axon")
+        and c > 640 and w2.shape[0] % 256 == 0
+    )
     if use_pallas:
         out = _fused_p(*args, eps, _pick_rows(c, x2.shape[0]))
+    elif wide_ok:
+        # c=1280: N-streamed kernel — the (rows, 8c) hidden stays in VMEM one
+        # inner-block at a time. XLA's composite form ran these FF dots at
+        # 14-18 TF/s (~25 ms/step at 512px across the L2+mid sites: the
+        # 10240-lane hidden round-trips HBM between matmul and gelu).
+        # Opt-in via AA_WIDE_FF=1 until validated on-chip.
+        out = _fused_wide_p(*args, eps, _pick_rows_wide(c, x2.shape[0]))
     elif impl == "pallas":
-        # perf mode but too wide for the kernel (c=1280 GEGLU hidden is 10240
-        # lanes): lean composite — bf16-stored hidden. The exact composite's
-        # fp32 (rows, 8c) hidden costs ~10 ms/step at 512px on these sites.
+        # perf mode but a geometry neither kernel takes: lean composite —
+        # bf16-stored hidden. The exact composite's fp32 (rows, 8c) hidden
+        # costs ~10 ms/step at 512px on these sites.
         out = _reference_lean(*args, eps)
     else:
         out = _reference(*args, eps)

@@ -173,6 +173,108 @@ def _pallas_group_norm(x2, scale, bias, groups, eps, silu, ch):
     )(x2, scale, bias, onehot)
 
 
+def _stats_kernel(x_ref, s1_ref, s2_ref):
+    """One grid step: accumulate per-channel Σx and Σx² for one row chunk."""
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        s1_ref[...] = jnp.zeros_like(s1_ref)
+        s2_ref[...] = jnp.zeros_like(s2_ref)
+
+    xf = x_ref[0].astype(jnp.float32)
+    s1_ref[0, 0, :] += jnp.sum(xf, axis=0)
+    s2_ref[0, 0, :] += jnp.sum(xf * xf, axis=0)
+
+
+def _stats_chunk(s: int, c: int, itemsize: int) -> int:
+    """Largest multiple-of-8 divisor of s with chunk ≤ ~1MB (double-buffered
+    input blocks stay ≤2MB of VMEM)."""
+    limit = max(8, (2**20) // (itemsize * c))
+    best = 0
+    d = 1
+    while d * d <= s:
+        if s % d == 0:
+            for cand in (d, s // d):
+                if cand % 8 == 0 and cand <= limit and cand > best:
+                    best = cand
+        d += 1
+    return best
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=())
+def _pallas_channel_sums(x2):
+    """(n, s, c) -> per-(n, c) fp32 (Σx, Σx²) in ONE streaming pass.
+
+    Standalone this is ~20× faster than the XLA reduction
+    (scripts/gn_stats_sweep.py), but in the full UNet step XLA's stats
+    fusions co-compute their producer chain's elementwise epilogue, so
+    swapping ALL sites to this kernel regressed the headline bench — it
+    stays opt-in (see set_default_stats_impl)."""
+    n, s, c = x2.shape
+    ch = _stats_chunk(s, c, x2.dtype.itemsize)
+    out = pl.pallas_call(
+        _stats_kernel,
+        grid=(n, s // ch),
+        in_specs=[pl.BlockSpec((1, ch, c), lambda i, j: (i, j, 0))],
+        out_specs=[pl.BlockSpec((1, 1, c), lambda i, j: (i, 0, 0)),
+                   pl.BlockSpec((1, 1, c), lambda i, j: (i, 0, 0))],
+        out_shape=[jax.ShapeDtypeStruct((n, 1, c), jnp.float32),
+                   jax.ShapeDtypeStruct((n, 1, c), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+    )(x2)
+    return out[0][:, 0, :], out[1][:, 0, :]
+
+
+def _channel_sums_fwd(x2):
+    return _pallas_channel_sums(x2), x2
+
+
+def _channel_sums_bwd(x2, g):
+    g1, g2 = g
+    dx = (g1[:, None, :] + 2.0 * x2.astype(jnp.float32) * g2[:, None, :])
+    return (dx.astype(x2.dtype),)
+
+
+_pallas_channel_sums.defvjp(_channel_sums_fwd, _channel_sums_bwd)
+
+
+_DEFAULT_STATS = "xla"
+
+
+def set_default_stats_impl(impl: str) -> None:
+    """'auto' routes GroupNorm statistics through the streaming channel-sums
+    kernel on TPU and the composite reduction elsewhere; 'pallas' forces the
+    kernel (interpret-mode tests); 'xla' (default) keeps the composite form.
+
+    Measured end-to-end (512px headline): the kernel wins 20x standalone
+    (scripts/gn_stats_sweep.py — 38 -> 1.8 ms at UNet L0) but LOSES 13 ms/step
+    in the full model: XLA's stats fusions are kInput fusions that co-compute
+    the producing chain's elementwise epilogue, so extracting the reduction
+    into an opaque custom call forces that work into separate HBM passes.
+    Kept opt-in for producer-is-custom-call sites and as a documented
+    negative result."""
+    global _DEFAULT_STATS
+    if impl not in ("auto", "xla", "pallas"):
+        raise ValueError(impl)
+    _DEFAULT_STATS = impl
+
+
+def stats_ok(x2) -> bool:
+    """Pallas channel-sums eligibility: row count divisible into aligned
+    chunks. c needs no 128-alignment (blocks equal the array's minor dim, so
+    Mosaic masks the lane padding)."""
+    if _DEFAULT_STATS == "xla":
+        return False
+    if _DEFAULT_STATS == "auto" and \
+            jax.devices()[0].platform not in ("tpu", "axon"):
+        return False
+    n, s, c = x2.shape
+    return _stats_chunk(s, c, x2.dtype.itemsize) >= 8
+
+
 def group_affine(x2, scale, bias, groups, eps):
     """Per-(batch, channel) fp32 affine (a, b) such that a·x+b applies
     GroupNorm(+scale/bias) to x2 of shape (n, s, c).
@@ -188,9 +290,12 @@ def group_affine(x2, scale, bias, groups, eps):
     the producer is a custom-call boundary, and it shares one implementation
     across the gn_silu_* fused ops."""
     n, s, c = x2.shape
-    xf = x2.astype(jnp.float32)
-    s1 = jnp.sum(xf, axis=1)                                             # (n, c)
-    s2 = jnp.sum(xf * xf, axis=1)                                        # (n, c)
+    if stats_ok(x2):
+        s1, s2 = _pallas_channel_sums(x2)                                # (n, c)
+    else:
+        xf = x2.astype(jnp.float32)
+        s1 = jnp.sum(xf, axis=1)                                         # (n, c)
+        s2 = jnp.sum(xf * xf, axis=1)                                    # (n, c)
     g1 = s1.reshape(n, groups, c // groups).sum(-1)                      # (n, g)
     g2 = s2.reshape(n, groups, c // groups).sum(-1)
     cnt = float(s * (c // groups))

@@ -41,12 +41,29 @@ def _rup(a: int, b: int) -> int:
     return -(-a // b) * b
 
 
-def _pick_chunk(f: int, cin: int, cout: int) -> int:
+def _pick_chunk(f: int, cin: int, cout: int, s: int = 0) -> int:
     """Rows per grid step. fp32 live set ≈ f·ch·(x + ln + 3·tap-out + y):
-    ~f·ch·(6·cin + 10·cout) bytes, after Mosaic's 128-lane padding."""
+    ~f·ch·(6·cin + 10·cout) bytes, after Mosaic's 128-lane padding.
+
+    Prefers the largest multiple-of-8 DIVISOR of ``s`` within the budget:
+    a ragged chunk forces jnp.pad + slice + a broadcast_select mask around
+    every fused call (profiled ~8 ms/step of pure glue at the 64² level,
+    where the budget-only choice was 56 rows against s=4096)."""
     cin_p, cout_p = _rup(cin, 128), _rup(cout, 128)
     ch = _VMEM_BUDGET // (f * (6 * cin_p + 10 * cout_p))
-    return max(0, (ch // 8) * 8)
+    ch = max(0, (ch // 8) * 8)
+    if s and ch >= 8 and s % ch != 0:
+        best = 0
+        d = 1
+        while d * d <= s:
+            if s % d == 0:
+                for cand in (d, s // d):
+                    if cand % 8 == 0 and cand <= ch and cand > best:
+                        best = cand
+            d += 1
+        if best >= 8:
+            return best
+    return ch
 
 
 def _kernel(x_ref, a_ref, b_ref, w_ref, bias_ref, res_ref, o_ref, *, f: int):
@@ -191,7 +208,7 @@ def gn_silu_tap_conv(
         and cin <= 640 and w.shape[-1] <= 640
     )
     if use_pallas and f >= 2:
-        ch = _pick_chunk(f, cin, w.shape[-1])
+        ch = _pick_chunk(f, cin, w.shape[-1], s)
         if ch >= 8:
             return _fused_stage_p(x, a, b, w, bias, residual, ch)
     return _reference_stage(x, a, b, w, bias, residual)

@@ -149,6 +149,49 @@ def test_group_norm_streaming_kernel_parity(silu):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
 
 
+def test_group_norm_stats_kernel_parity_and_grad():
+    """Streaming channel-sums stats kernel (opt-in; default stays XLA — see
+    set_default_stats_impl) must match the XLA composite reduction
+    bit-for-bit — values AND gradients — and odd row counts must fall back
+    instead of mis-chunking."""
+    from animate_anything_tpu.ops import group_norm as gn
+
+    x = (jax.random.normal(jax.random.PRNGKey(0), (3, 64, 320)) * 2 + 0.3
+         ).astype(jnp.bfloat16)
+    scale = jnp.linspace(0.5, 1.5, 320)
+    bias = jnp.linspace(-1, 1, 320)
+
+    def affine_sum(x, impl):
+        gn.set_default_stats_impl(impl)
+        try:
+            a, b = gn.group_affine(x, scale, bias, 32, 1e-5)
+            return jnp.sum(a * 1.7 + b * 0.3)
+        finally:
+            gn.set_default_stats_impl("xla")
+
+    gn.set_default_stats_impl("xla")
+    a0, b0 = gn.group_affine(x, scale, bias, 32, 1e-5)
+    g0 = jax.grad(lambda x: affine_sum(x, "xla"))(x)
+    gn.set_default_stats_impl("pallas")
+    try:
+        with pltpu.force_tpu_interpret_mode():
+            a1, b1 = gn.group_affine(x, scale, bias, 32, 1e-5)
+            g1 = jax.grad(lambda x: affine_sum(x, "pallas"))(x)
+    finally:
+        gn.set_default_stats_impl("xla")
+    np.testing.assert_array_equal(np.asarray(a1), np.asarray(a0))
+    np.testing.assert_array_equal(np.asarray(b1), np.asarray(b0))
+    np.testing.assert_array_equal(
+        np.asarray(g1, np.float32), np.asarray(g0, np.float32))
+
+    # prime row count → no aligned chunk → kernel ineligible (XLA fallback)
+    gn.set_default_stats_impl("pallas")
+    try:
+        assert not gn.stats_ok(jnp.zeros((2, 7, 320), jnp.bfloat16))
+    finally:
+        gn.set_default_stats_impl("xla")
+
+
 def test_group_norm_matches_flax():
     import flax.linen as nn
 
@@ -451,6 +494,37 @@ def test_ln_geglu_pallas_kernel_interpret():
     with pltpu.force_tpu_interpret_mode():
         got = _pallas_ln_geglu(x, s, b, w1, b1, w2, b2, 1e-5, rows=16)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=3e-5)
+
+
+def test_ln_geglu_wide_kernel_interpret():
+    """N-streamed wide-FF kernel (c>640 sites): per-inner-block val·gelu(gate)
+    folded straight into the down-projection accumulator — must match the
+    lean composite (bf16-stored hidden) it replaces, ragged rows included."""
+    from animate_anything_tpu.ops.geglu import (_fused_wide_p, _pick_rows_wide,
+                                                _reference_lean)
+
+    c, inner = 256, 1024                     # wide-path shapes at test scale
+    for n in (272, 204):                     # divisor-aligned / ragged rows
+        # (204 has no multiple-of-8 divisor → exercises the pad+slice path)
+        ks = jax.random.split(jax.random.PRNGKey(n), 6)
+        x = (jax.random.normal(ks[0], (n, c)) * 0.5).astype(jnp.bfloat16)
+        s = jnp.ones((c,), jnp.float32) + 0.1
+        b = jnp.zeros((c,), jnp.float32) + 0.05
+        w1 = (jax.random.normal(ks[1], (c, 2 * inner)) * 0.05).astype(jnp.bfloat16)
+        b1 = jax.random.normal(ks[2], (2 * inner,)) * 0.1
+        w2 = (jax.random.normal(ks[3], (inner, c)) * 0.05).astype(jnp.bfloat16)
+        b2 = jax.random.normal(ks[4], (c,)) * 0.1
+        ref = _reference_lean(x, s, b, w1, b1, w2, b2, 1e-5)
+        rows = _pick_rows_wide(c, n)
+        with pltpu.force_tpu_interpret_mode():
+            got = _fused_wide_p(x, s, b, w1, b1, w2, b2, 1e-5, rows)
+            g = jax.grad(lambda x: jnp.sum(
+                _fused_wide_p(x, s, b, w1, b1, w2, b2, 1e-5, rows
+                              ).astype(jnp.float32) ** 2))(x)
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(ref, np.float32),
+            atol=3e-2, rtol=1e-2)  # bf16 accumulator-order noise
+        assert np.isfinite(np.asarray(g, np.float32)).all()
 
 
 def test_ln_geglu_grad_finite():
