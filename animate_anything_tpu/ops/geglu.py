@@ -168,20 +168,24 @@ def _wide_kernel(x_ref, s_ref, b_ref, w1v_ref, w1g_ref, b1v_ref, b1g_ref,
         o_ref[...] = acc[...].astype(o_ref.dtype)
 
 
-def _pick_rows_wide(c: int, n: int) -> int:
-    # live set ≈ R·c·(x-block 2 + ln 2 + acc 4 + out 2·2) B + streamed weight
-    # blocks; R=256 at c=1280 stays ~13MB with Nb=512
-    cap = max(8, min(256, ((3 * 2**20) // (12 * _rup(c, 128)) // 8) * 8))
-    for rows in range(cap, 63, -8):
+def _pick_rows_wide(c: int, n: int, nb: int = 256) -> int:
+    """Row block for the N-streamed kernel. The weights re-stream per row
+    block (3·c·4c bytes each time), so LARGE row blocks are what makes the
+    kernel compute-bound instead of weight-DMA-bound: at c=1280/nb=256 each
+    grid step runs 3·2·R·c·nb FLOPs against a 3·c·nb·2·2B weight fetch —
+    R≥256 keeps the MXU ahead of HBM. Live VMEM ≈ R·c·12B (x dbuf + ln +
+    fp32 acc + out dbuf) + 3·c·nb·4B weight double-buffers, budget ~11MB."""
+    cp = _rup(c, 128)
+    cap = max(8, min(512, ((11 * 2**20 - 12 * cp * nb) // (12 * cp) // 8) * 8))
+    for rows in range(cap, 127, -8):
         if n % rows == 0:
             return rows
     return cap
 
 
-def _pallas_ln_geglu_wide(x2, s, b, w1, b1, w2, b2, eps, rows):
+def _pallas_ln_geglu_wide(x2, s, b, w1, b1, w2, b2, eps, rows, nb=256):
     n, c = x2.shape
     inner = w2.shape[0]
-    nb = 512 if inner % 512 == 0 else 256
     nj = inner // nb
     n_pad = _rup(n, rows)
     if n_pad != n:
@@ -271,17 +275,21 @@ def _bwd(eps, rows, res, g):
 _fused_p.defvjp(_fwd, _bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
-def _fused_wide_p(x2, s, b, w1, b1, w2, b2, eps, rows):
-    return _pallas_ln_geglu_wide(x2, s, b, w1, b1, w2, b2, eps, rows)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
+def _fused_wide_p(x2, s, b, w1, b1, w2, b2, eps, rows, nb=256):
+    return _pallas_ln_geglu_wide(x2, s, b, w1, b1, w2, b2, eps, rows, nb)
 
 
-def _fwd_wide(x2, s, b, w1, b1, w2, b2, eps, rows):
-    return (_pallas_ln_geglu_wide(x2, s, b, w1, b1, w2, b2, eps, rows),
+def _fwd_wide(x2, s, b, w1, b1, w2, b2, eps, rows, nb=256):
+    return (_pallas_ln_geglu_wide(x2, s, b, w1, b1, w2, b2, eps, rows, nb),
             (x2, s, b, w1, b1, w2, b2))
 
 
-_fused_wide_p.defvjp(_fwd_wide, _bwd)
+def _bwd_wide(eps, rows, nb, res, g):
+    return _bwd(eps, rows, res, g)
+
+
+_fused_wide_p.defvjp(_fwd_wide, _bwd_wide)
 
 
 def ln_geglu_ff(
