@@ -319,7 +319,7 @@ def ln_geglu_ff(
     )
     wide_ok = (
         impl == "pallas"
-        and os.environ.get("AA_WIDE_FF", "0") == "1"
+        and os.environ.get("AA_WIDE_FF", "1") == "1"
         and jax.devices()[0].platform in ("tpu", "axon")
         and c > 640 and w2.shape[0] % 256 == 0
     )
@@ -328,9 +328,10 @@ def ln_geglu_ff(
     elif wide_ok:
         # c=1280: N-streamed kernel — the (rows, 8c) hidden stays in VMEM one
         # inner-block at a time. XLA's composite form ran these FF dots at
-        # 14-18 TF/s (~25 ms/step at 512px across the L2+mid sites: the
-        # 10240-lane hidden round-trips HBM between matmul and gelu).
-        # Opt-in via AA_WIDE_FF=1 until validated on-chip.
+        # 14-18 TF/s (the 10240-lane hidden round-trips HBM between matmul
+        # and gelu). On-chip sweep (scripts/geglu_wide_sweep.py): 3.85 vs
+        # 4.26 ms (L2sp), 2.21 vs 2.54 ms (midsp); end-to-end headline
+        # 10.56 → 9.82 s/video. Default ON; AA_WIDE_FF=0 disables.
         out = _fused_wide_p(*args, eps, _pick_rows_wide(c, x2.shape[0]))
     elif impl == "pallas":
         # perf mode but a geometry neither kernel takes: lean composite —
