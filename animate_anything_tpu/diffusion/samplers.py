@@ -139,8 +139,11 @@ def dpmpp_step(
 ) -> SamplerState:
     """One DPM-Solver++ multistep update at step index i (0-based).
 
-    First step (and the last step, lower_order_final) use the 1st-order
-    update; middle steps the 2M midpoint rule. All σ math in fp32.
+    First step uses the 1st-order update; middle steps the 2M midpoint rule.
+    The LAST step is 1st-order only for short schedules (< 15 steps) —
+    diffusers' ``lower_order_final`` stabilizer has that exact guard
+    (DPMSolverMultistepScheduler, diffusers==0.24), so at the reference's 25
+    eval steps the final update stays 2nd-order. All σ math in fp32.
     """
     n = tables.timesteps.shape[0]
     sample = state.sample.astype(jnp.float32)
@@ -163,7 +166,10 @@ def dpmpp_step(
     d1 = (x0 - x0_prev) / r0
     second_order = ratio * sample - a_t * phi * (x0 + 0.5 * d1)
 
-    use_first = jnp.logical_or(i == 0, i == n - 1)
+    if n < 15:  # diffusers lower_order_final: len(timesteps) < 15 only
+        use_first = jnp.logical_or(i == 0, i == n - 1)
+    else:
+        use_first = i == 0
     prev = jnp.where(use_first, first_order, second_order)
     return SamplerState(sample=prev.astype(state.sample.dtype), aux=x0.astype(state.sample.dtype))
 

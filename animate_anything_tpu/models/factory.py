@@ -211,16 +211,41 @@ def build_models(
 
     schedule = schedule_from_json(comp.get("scheduler_config", {}), rescale=rescale_schedule)
 
-    tokenizer = HashTokenizer(tcfg.vocab_size, tcfg.max_position_embeddings)
+    # Tokenizer resolution (reference: CLIPTokenizer, train.py:87-88).
+    # A checkpoint's tokenizer/ dir loads through the IN-REPO BPE tokenizer
+    # (no transformers needed); a present-but-unloadable dir is a hard error
+    # (silently swapping in the hash vocab would feed garbage ids to a real
+    # checkpoint); the HashTokenizer remains only for asset-free runs, with
+    # a loud warning, or explicit AA_ALLOW_HASH_TOKENIZER=1 opt-in.
+    tokenizer = None
     if from_ckpt:
         tok_dir = os.path.join(pretrained_model_path, "tokenizer")
         if os.path.isdir(tok_dir):
             try:
-                from transformers import CLIPTokenizer
+                from animate_anything_tpu.models.clip_tokenizer import (
+                    CLIPBPETokenizer)
 
-                tokenizer = CLIPTokenizer.from_pretrained(tok_dir)
-            except Exception:
-                pass
+                tokenizer = CLIPBPETokenizer.from_pretrained(
+                    tok_dir, model_max_length=tcfg.max_position_embeddings)
+            except Exception as e:
+                if os.environ.get("AA_ALLOW_HASH_TOKENIZER") != "1":
+                    raise RuntimeError(
+                        f"checkpoint tokenizer dir {tok_dir!r} exists but "
+                        f"could not be loaded ({e}); refusing to silently "
+                        "substitute the hash tokenizer (set "
+                        "AA_ALLOW_HASH_TOKENIZER=1 to override)"
+                    ) from e
+    if tokenizer is None:
+        if from_ckpt:
+            import warnings
+
+            warnings.warn(
+                "no tokenizer/ dir in checkpoint: using the asset-free "
+                "HashTokenizer — token ids will NOT match CLIP; prompts on "
+                "real checkpoints will be meaningless",
+                stacklevel=2,
+            )
+        tokenizer = HashTokenizer(tcfg.vocab_size, tcfg.max_position_embeddings)
 
     return dict(
         unet=unet, unet_params=unet_params, unet_config=ucfg,

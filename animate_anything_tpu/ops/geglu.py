@@ -321,8 +321,18 @@ def ln_geglu_ff(
         impl == "pallas"
         and os.environ.get("AA_WIDE_FF", "1") == "1"
         and jax.devices()[0].platform in ("tpu", "axon")
-        and c > 640 and w2.shape[0] % 256 == 0
+        # lane-aligned c only: the on-chip sweep covered c=1280 (both UNets'
+        # widest sites); other 128-multiples share its tiling. Non-aligned c
+        # or ragged inner blocks take the lean composite below instead.
+        and c > 640 and c % 128 == 0 and w2.shape[0] % 256 == 0
     )
+    if wide_ok:
+        # Floor guard (ADVICE r3): R<128 would make the kernel
+        # weight-DMA-bound, contradicting the R>=256 compute-bound design —
+        # possible only for very large c where the VMEM budget minus weight
+        # double-buffers leaves too few rows.
+        wide_rows = _pick_rows_wide(c, x2.shape[0])
+        wide_ok = wide_rows >= 128
     if use_pallas:
         out = _fused_p(*args, eps, _pick_rows(c, x2.shape[0]))
     elif wide_ok:
@@ -332,7 +342,7 @@ def ln_geglu_ff(
         # and gelu). On-chip sweep (scripts/geglu_wide_sweep.py): 3.85 vs
         # 4.26 ms (L2sp), 2.21 vs 2.54 ms (midsp); end-to-end headline
         # 10.56 → 9.82 s/video. Default ON; AA_WIDE_FF=0 disables.
-        out = _fused_wide_p(*args, eps, _pick_rows_wide(c, x2.shape[0]))
+        out = _fused_wide_p(*args, eps, wide_rows)
     elif impl == "pallas":
         # perf mode but a geometry neither kernel takes: lean composite —
         # bf16-stored hidden. The exact composite's fp32 (rows, 8c) hidden

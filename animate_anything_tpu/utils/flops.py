@@ -177,6 +177,50 @@ def train_step_flops(batch: int, frames: int, res: int) -> float:
     return float(low.cost_analysis()["flops"])
 
 
+def svd_train_step_flops(batch: int, frames: int, res: int) -> float:
+    """FLOPs of one SVD finetune optimizer step (VAE encode + EDM loss fwd +
+    bwd + remat recompute + 8-bit Adam) — the workload bench_train_svd.py
+    times (reference loop: /root/reference/train_svd.py:347-432)."""
+    import jax
+    import jax.numpy as jnp
+
+    from animate_anything_tpu.models.svd_unet import (
+        SVDUNetConfig, UNetSpatioTemporalConditionModel)
+    from animate_anything_tpu.models.vae import AutoencoderKL, VAEConfig
+    from animate_anything_tpu.train.svd_trainer import (SVDTrainConfig,
+                                                        make_svd_train_step)
+    from animate_anything_tpu.train.trainer import create_train_state
+
+    hw = res // 8
+    ucfg = SVDUNetConfig(in_channels=9, gradient_checkpointing=True)
+    unet = UNetSpatioTemporalConditionModel(ucfg, dtype=jnp.bfloat16)
+    S = jax.ShapeDtypeStruct
+    params = jax.eval_shape(
+        unet.init, jax.random.PRNGKey(0),
+        S((batch, frames, hw, hw, 9), jnp.bfloat16), S((), jnp.float32),
+        S((batch, 1, ucfg.cross_attention_dim), jnp.bfloat16),
+        S((batch, 3), jnp.float32),
+    )
+    vae = AutoencoderKL(VAEConfig(), dtype=jnp.bfloat16)
+    # vae_params is closure-captured by the step fn, so it must be concrete
+    # (zeros — lowering only needs shapes/dtypes, not values)
+    vshapes = jax.eval_shape(
+        vae.init, jax.random.PRNGKey(1), S((1, res, res, 3), jnp.bfloat16))
+    vparams = jax.tree_util.tree_map(
+        lambda sh: jnp.zeros(sh.shape, sh.dtype), vshapes)
+    tconf = SVDTrainConfig(motion_mask=True, use_8bit_adam=True)
+    state = jax.eval_shape(lambda p: create_train_state(p, tconf), params)
+    batch_d = {
+        "pixel_values": S((batch, frames, res, res, 3), jnp.bfloat16),
+        "mask": S((batch, res, res), jnp.float32),
+        "image_embeddings": S((batch, 1, ucfg.cross_attention_dim), jnp.bfloat16),
+    }
+    low = jax.jit(
+        make_svd_train_step(unet, tconf, vae=vae, vae_params=vparams)
+    ).lower(state, batch_d, jax.random.PRNGKey(0))
+    return float(low.cost_analysis()["flops"])
+
+
 def svd_flops(frames: int, res: int, steps: int) -> float:
     """FLOPs of the SVD denoise scan + chunked decode (bench_svd.py's path)."""
     import jax
@@ -221,11 +265,14 @@ if __name__ == "__main__":
     ap.add_argument("--res", type=int, default=512)
     ap.add_argument("--steps", type=int, default=25)
     ap.add_argument("--batch", type=int, default=1)
-    ap.add_argument("--workload", choices=("denoise", "train", "svd"),
+    ap.add_argument("--workload", choices=("denoise", "train", "svd",
+                                           "svd_train"),
                     default="denoise")
     a = ap.parse_args()
     if a.workload == "train":
         print(train_step_flops(a.batch, a.frames, a.res))
+    elif a.workload == "svd_train":
+        print(svd_train_step_flops(a.batch, a.frames, a.res))
     elif a.workload == "svd":
         print(svd_flops(a.frames, a.res, a.steps))
     else:
