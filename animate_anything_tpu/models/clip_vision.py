@@ -31,6 +31,8 @@ class CLIPVisionConfig:
     image_size: int = 224
     patch_size: int = 14
     projection_dim: int = 1024
+    hidden_act: str = "gelu"  # laion ViT-H (the SVD image encoder); HF's
+    # generic CLIPVisionConfig default is quick_gelu
 
     @classmethod
     def tiny(cls, **kw) -> "CLIPVisionConfig":
@@ -57,7 +59,9 @@ class CLIPVisionLayer(nn.Module):
         x = x + nn.Dense(cfg.hidden_size, dtype=self.dtype, name="out_proj")(o)
         h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="layer_norm2")(x)
         h = nn.Dense(cfg.intermediate_size, dtype=self.dtype, name="fc1")(h)
-        h = nn.gelu(h, approximate=False)
+        from animate_anything_tpu.models.clip_text import _act
+
+        h = _act(cfg.hidden_act)(h)
         h = nn.Dense(cfg.hidden_size, dtype=self.dtype, name="fc2")(h)
         return x + h
 

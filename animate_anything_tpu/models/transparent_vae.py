@@ -82,7 +82,8 @@ class UNet384(nn.Module):
                 h = ResnetBlock2D(out_ch, eps=cfg.norm_eps, groups=g, dtype=self.dtype,
                                   name=f"down_blocks_{i}_resnets_{j}")(h)
                 if attn:
-                    h = VAEAttentionBlock(groups=g, dtype=self.dtype,
+                    h = VAEAttentionBlock(groups=g, head_dim=cfg.attention_head_dim,
+                                          dtype=self.dtype,
                                           name=f"down_blocks_{i}_attentions_{j}")(h)
                 skips.append(h)
             if i < n - 1:
@@ -91,7 +92,8 @@ class UNet384(nn.Module):
 
         h = ResnetBlock2D(chans[-1], eps=cfg.norm_eps, groups=g, dtype=self.dtype,
                           name="mid_resnets_0")(h)
-        h = VAEAttentionBlock(groups=g, dtype=self.dtype, name="mid_attn")(h)
+        h = VAEAttentionBlock(groups=g, head_dim=cfg.attention_head_dim,
+                              dtype=self.dtype, name="mid_attn")(h)
         h = ResnetBlock2D(chans[-1], eps=cfg.norm_eps, groups=g, dtype=self.dtype,
                           name="mid_resnets_1")(h)
 
@@ -104,7 +106,8 @@ class UNet384(nn.Module):
                 h = ResnetBlock2D(out_ch, eps=cfg.norm_eps, groups=g, dtype=self.dtype,
                                   name=f"up_blocks_{i}_resnets_{j}")(h)
                 if attn:
-                    h = VAEAttentionBlock(groups=g, dtype=self.dtype,
+                    h = VAEAttentionBlock(groups=g, head_dim=cfg.attention_head_dim,
+                                          dtype=self.dtype,
                                           name=f"up_blocks_{i}_attentions_{j}")(h)
             if i < n - 1:
                 h = Upsample2D(out_ch, dtype=self.dtype, name=f"up_blocks_{i}_upsample")(

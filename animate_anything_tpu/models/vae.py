@@ -17,7 +17,7 @@ attention, DiagonalGaussian posterior), NHWC, video-aware:
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
+from typing import Optional, Tuple
 
 import flax.linen as nn
 import jax
@@ -65,22 +65,35 @@ class VAEResnetBlock(nn.Module):
 
 
 class VAEAttentionBlock(nn.Module):
-    """Single-head self-attention over h·w (diffusers mid-block Attention)."""
+    """Self-attention over h·w (diffusers deprecated-attn-block style
+    ``Attention``: group_norm → q/k/v → attn → to_out → residual).
+
+    ``head_dim=None`` → ONE head over all channels (the SD VAE mid-block:
+    diffusers passes attention_head_dim=None ⇒ dim_head = channels).
+    The transparent UNet384 passes attention_head_dim=8 ⇒ channels/8 heads
+    (/root/reference/models/layerdiffuse_VAE.py:60) — heads change both the
+    score shape and the softmax scale, so this must mirror diffusers."""
 
     groups: int = 32
+    head_dim: Optional[int] = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         b, hh, ww, c = x.shape
+        heads = 1 if self.head_dim is None else c // self.head_dim
         h = FusedGroupNorm(self.groups, eps=1e-6, name="group_norm")(x)
         h = h.reshape(b, hh * ww, c)
         q = nn.Dense(c, dtype=self.dtype, name="to_q")(h)
         k = nn.Dense(c, dtype=self.dtype, name="to_k")(h)
         v = nn.Dense(c, dtype=self.dtype, name="to_v")(h)
+        s = hh * ww
         out = attention(
-            q[:, :, None, :], k[:, :, None, :], v[:, :, None, :], impl="xla"
-        )[:, :, 0, :]
+            q.reshape(b, s, heads, c // heads),
+            k.reshape(b, s, heads, c // heads),
+            v.reshape(b, s, heads, c // heads),
+            impl="xla",
+        ).reshape(b, s, c)
         out = nn.Dense(c, dtype=self.dtype, name="to_out_0")(out)
         return x + out.reshape(b, hh, ww, c)
 

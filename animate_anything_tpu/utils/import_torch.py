@@ -244,6 +244,36 @@ def convert_clip_text(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
     return convert_generic(sd, _rename_clip_text)
 
 
+def _rename_unet384(key: str) -> str | None:
+    """LayerDiffuse UNet384 (torch, /root/reference/models/layerdiffuse_VAE.py:44,
+    saved as vae_alpha_decoder.pth at train_transparent_i2v_stage2.py:119-128)
+    → models/transparent_vae.py::UNet384 names."""
+    if ".to_out.1." in key:
+        return None
+    key = re.sub(r"^(down|up)_blocks\.(\d+)\.(resnets|attentions)\.(\d+)\.",
+                 r"\1_blocks_\2_\3_\4.", key)
+    key = re.sub(r"^down_blocks\.(\d+)\.downsamplers\.0\.conv\.",
+                 r"down_blocks_\1_downsample.conv.", key)
+    key = re.sub(r"^up_blocks\.(\d+)\.upsamplers\.0\.conv\.",
+                 r"up_blocks_\1_upsample.conv.", key)
+    key = re.sub(r"^mid_block\.resnets\.(\d+)\.", r"mid_resnets_\1.", key)
+    key = key.replace("mid_block.attentions.0.", "mid_attn.")
+    key = key.replace(".to_out.0.", ".to_out_0.")
+    return key
+
+
+def convert_unet384(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    return convert_generic(sd, _rename_unet384)
+
+
+def convert_offset_encoder(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """LatentTransparencyOffsetEncoder torch Sequential (blocks.N.weight,
+    vae_alpha_encoder.pth) → flax blocks_N names (conv-only; SiLU layers
+    hold no params)."""
+    return convert_generic(
+        sd, lambda k: re.sub(r"^blocks\.(\d+)\.", r"blocks_\1.", k))
+
+
 # --------------------------------------------------------------------------
 # Validation against a flax params tree
 # --------------------------------------------------------------------------

@@ -272,10 +272,13 @@ class Downsample2D(nn.Module):
         super().__init__()
         out_channels = out_channels or channels
         assert use_conv
+        self.padding = padding
         # diffusers stores the conv under the `conv` attribute for all names
         self.conv = nn.Conv2d(channels, out_channels, 3, stride=2, padding=padding)
 
     def forward(self, hidden_states, scale=1.0):
+        if self.padding == 0:  # VAE encoder: asymmetric (0,1),(0,1) pad
+            hidden_states = F.pad(hidden_states, (0, 1, 0, 1), mode="constant", value=0)
         return self.conv(hidden_states)
 
 
@@ -301,19 +304,39 @@ class Upsample2D(nn.Module):
 
 class Attention(nn.Module):
     def __init__(self, query_dim, cross_attention_dim=None, heads=8, dim_head=64,
-                 dropout=0.0, bias=False, upcast_attention=False, out_bias=True):
+                 dropout=0.0, bias=False, upcast_attention=False, out_bias=True,
+                 norm_num_groups=None, residual_connection=False,
+                 rescale_output_factor=1.0, eps=1e-5, upcast_softmax=False,
+                 _from_deprecated_attn_block=False):
         super().__init__()
         inner_dim = dim_head * heads
         cross_attention_dim = cross_attention_dim or query_dim
         self.heads = heads
         self.scale = dim_head**-0.5
+        self.residual_connection = residual_connection
+        self.rescale_output_factor = rescale_output_factor
+        self.group_norm = (nn.GroupNorm(norm_num_groups, query_dim, eps=eps,
+                                        affine=True)
+                           if norm_num_groups is not None else None)
         self.to_q = nn.Linear(query_dim, inner_dim, bias=bias)
         self.to_k = nn.Linear(cross_attention_dim, inner_dim, bias=bias)
         self.to_v = nn.Linear(cross_attention_dim, inner_dim, bias=bias)
         self.to_out = nn.ModuleList([nn.Linear(inner_dim, query_dim, bias=out_bias),
                                      nn.Dropout(dropout)])
 
-    def forward(self, hidden_states, encoder_hidden_states=None, attention_mask=None):
+    def forward(self, hidden_states, encoder_hidden_states=None,
+                attention_mask=None, temb=None):
+        # diffusers AttnProcessor semantics incl. the deprecated-attn-block
+        # path: 4-D input flattens to (b, hw, c); group_norm on the
+        # channel-first view; residual add + output rescale at the end
+        residual = hidden_states
+        input_ndim = hidden_states.ndim
+        if input_ndim == 4:
+            bb, cc, hh, ww = hidden_states.shape
+            hidden_states = hidden_states.view(bb, cc, hh * ww).transpose(1, 2)
+        if self.group_norm is not None:
+            hidden_states = self.group_norm(
+                hidden_states.transpose(1, 2)).transpose(1, 2)
         ctx = hidden_states if encoder_hidden_states is None else encoder_hidden_states
         b, sq, _ = hidden_states.shape
         h = self.heads
@@ -330,7 +353,11 @@ class Attention(nn.Module):
         out = out.transpose(1, 2).reshape(b, sq, h * d)
         out = self.to_out[0](out)
         out = self.to_out[1](out)
-        return out
+        if input_ndim == 4:
+            out = out.transpose(-1, -2).reshape(bb, cc, hh, ww)
+        if self.residual_connection:
+            out = out + residual
+        return out / self.rescale_output_factor
 
 
 class GEGLU(nn.Module):
@@ -525,6 +552,386 @@ class TransformerTemporalModel(ModelMixin, ConfigMixin):
 
 
 # --------------------------------------------------------------------------
+# unet_2d_blocks (diffusers 0.24): the timestep-optional 2D blocks the
+# transparent UNet384 builds from (/root/reference/models/layerdiffuse_VAE.py
+# imports UNetMidBlock2D/get_down_block/get_up_block), plus the VAE
+# encoder/decoder blocks for the AutoencoderKL oracle.
+# --------------------------------------------------------------------------
+
+def _attn_block(channels, attention_head_dim, groups, eps, scale_factor=1.0):
+    if attention_head_dim is None:
+        attention_head_dim = channels
+    return Attention(
+        channels, heads=channels // attention_head_dim,
+        dim_head=attention_head_dim, rescale_output_factor=scale_factor,
+        eps=eps, norm_num_groups=groups, residual_connection=True, bias=True,
+        upcast_softmax=True, _from_deprecated_attn_block=True)
+
+
+class DownBlock2D(nn.Module):
+    def __init__(self, in_channels, out_channels, temb_channels, dropout=0.0,
+                 num_layers=1, resnet_eps=1e-6, resnet_act_fn="swish",
+                 resnet_groups=32, add_downsample=True, downsample_padding=1):
+        super().__init__()
+        self.resnets = nn.ModuleList([
+            ResnetBlock2D(in_channels=in_channels if i == 0 else out_channels,
+                          out_channels=out_channels, temb_channels=temb_channels,
+                          eps=resnet_eps, groups=resnet_groups, dropout=dropout)
+            for i in range(num_layers)])
+        self.downsamplers = (nn.ModuleList([
+            Downsample2D(out_channels, use_conv=True, out_channels=out_channels,
+                         padding=downsample_padding, name="op")])
+            if add_downsample else None)
+
+    def forward(self, hidden_states, temb=None, scale=1.0):
+        output_states = ()
+        for resnet in self.resnets:
+            hidden_states = resnet(hidden_states, temb)
+            output_states += (hidden_states,)
+        if self.downsamplers is not None:
+            for d in self.downsamplers:
+                hidden_states = d(hidden_states)
+            output_states += (hidden_states,)
+        return hidden_states, output_states
+
+
+class AttnDownBlock2D(nn.Module):
+    def __init__(self, in_channels, out_channels, temb_channels, dropout=0.0,
+                 num_layers=1, resnet_eps=1e-6, resnet_act_fn="swish",
+                 resnet_groups=32, attention_head_dim=1, add_downsample=True,
+                 downsample_padding=1, downsample_type="conv"):
+        super().__init__()
+        assert downsample_type == "conv"
+        self.resnets = nn.ModuleList([
+            ResnetBlock2D(in_channels=in_channels if i == 0 else out_channels,
+                          out_channels=out_channels, temb_channels=temb_channels,
+                          eps=resnet_eps, groups=resnet_groups, dropout=dropout)
+            for i in range(num_layers)])
+        self.attentions = nn.ModuleList([
+            _attn_block(out_channels, attention_head_dim, resnet_groups, resnet_eps)
+            for _ in range(num_layers)])
+        self.downsamplers = (nn.ModuleList([
+            Downsample2D(out_channels, use_conv=True, out_channels=out_channels,
+                         padding=downsample_padding, name="op")])
+            if add_downsample else None)
+
+    def forward(self, hidden_states, temb=None, upsample_size=None):
+        output_states = ()
+        for resnet, attn in zip(self.resnets, self.attentions):
+            hidden_states = resnet(hidden_states, temb)
+            hidden_states = attn(hidden_states)
+            output_states += (hidden_states,)
+        if self.downsamplers is not None:
+            for d in self.downsamplers:
+                hidden_states = d(hidden_states)
+            output_states += (hidden_states,)
+        return hidden_states, output_states
+
+
+class UpBlock2D(nn.Module):
+    def __init__(self, in_channels, prev_output_channel, out_channels,
+                 temb_channels, dropout=0.0, num_layers=1, resnet_eps=1e-6,
+                 resnet_act_fn="swish", resnet_groups=32, add_upsample=True):
+        super().__init__()
+        resnets = []
+        for i in range(num_layers):
+            res_skip_channels = in_channels if (i == num_layers - 1) else out_channels
+            resnet_in_channels = prev_output_channel if i == 0 else out_channels
+            resnets.append(ResnetBlock2D(
+                in_channels=resnet_in_channels + res_skip_channels,
+                out_channels=out_channels, temb_channels=temb_channels,
+                eps=resnet_eps, groups=resnet_groups, dropout=dropout))
+        self.resnets = nn.ModuleList(resnets)
+        self.upsamplers = (nn.ModuleList([
+            Upsample2D(out_channels, use_conv=True, out_channels=out_channels)])
+            if add_upsample else None)
+
+    def forward(self, hidden_states, res_hidden_states_tuple, temb=None,
+                upsample_size=None, scale=1.0):
+        for resnet in self.resnets:
+            res_hidden_states = res_hidden_states_tuple[-1]
+            res_hidden_states_tuple = res_hidden_states_tuple[:-1]
+            hidden_states = torch.cat([hidden_states, res_hidden_states], dim=1)
+            hidden_states = resnet(hidden_states, temb)
+        if self.upsamplers is not None:
+            for u in self.upsamplers:
+                hidden_states = u(hidden_states, upsample_size)
+        return hidden_states
+
+
+class AttnUpBlock2D(nn.Module):
+    def __init__(self, in_channels, prev_output_channel, out_channels,
+                 temb_channels, dropout=0.0, num_layers=1, resnet_eps=1e-6,
+                 resnet_act_fn="swish", resnet_groups=32, attention_head_dim=1,
+                 add_upsample=True, upsample_type="conv"):
+        super().__init__()
+        assert upsample_type == "conv"
+        resnets, attentions = [], []
+        for i in range(num_layers):
+            res_skip_channels = in_channels if (i == num_layers - 1) else out_channels
+            resnet_in_channels = prev_output_channel if i == 0 else out_channels
+            resnets.append(ResnetBlock2D(
+                in_channels=resnet_in_channels + res_skip_channels,
+                out_channels=out_channels, temb_channels=temb_channels,
+                eps=resnet_eps, groups=resnet_groups, dropout=dropout))
+            attentions.append(_attn_block(out_channels, attention_head_dim,
+                                          resnet_groups, resnet_eps))
+        self.resnets = nn.ModuleList(resnets)
+        self.attentions = nn.ModuleList(attentions)
+        self.upsamplers = (nn.ModuleList([
+            Upsample2D(out_channels, use_conv=True, out_channels=out_channels)])
+            if add_upsample else None)
+
+    def forward(self, hidden_states, res_hidden_states_tuple, temb=None,
+                upsample_size=None):
+        for resnet, attn in zip(self.resnets, self.attentions):
+            res_hidden_states = res_hidden_states_tuple[-1]
+            res_hidden_states_tuple = res_hidden_states_tuple[:-1]
+            hidden_states = torch.cat([hidden_states, res_hidden_states], dim=1)
+            hidden_states = resnet(hidden_states, temb)
+            hidden_states = attn(hidden_states)
+        if self.upsamplers is not None:
+            for u in self.upsamplers:
+                hidden_states = u(hidden_states, upsample_size)
+        return hidden_states
+
+
+class UNetMidBlock2D(nn.Module):
+    def __init__(self, in_channels, temb_channels, dropout=0.0, num_layers=1,
+                 resnet_eps=1e-6, resnet_time_scale_shift="default",
+                 resnet_act_fn="swish", resnet_groups=32, attn_groups=None,
+                 resnet_pre_norm=True, add_attention=True,
+                 attention_head_dim=1, output_scale_factor=1.0):
+        super().__init__()
+        resnet_groups = resnet_groups if resnet_groups is not None else min(in_channels // 4, 32)
+        if attn_groups is None:
+            attn_groups = resnet_groups if resnet_time_scale_shift == "default" else None
+        resnets = [ResnetBlock2D(
+            in_channels=in_channels, out_channels=in_channels,
+            temb_channels=temb_channels, eps=resnet_eps, groups=resnet_groups,
+            dropout=dropout)]
+        attentions = []
+        for _ in range(num_layers):
+            if add_attention:
+                attentions.append(_attn_block(in_channels, attention_head_dim,
+                                              attn_groups, resnet_eps,
+                                              output_scale_factor))
+            else:
+                attentions.append(None)
+            resnets.append(ResnetBlock2D(
+                in_channels=in_channels, out_channels=in_channels,
+                temb_channels=temb_channels, eps=resnet_eps,
+                groups=resnet_groups, dropout=dropout))
+        self.attentions = nn.ModuleList(attentions)
+        self.resnets = nn.ModuleList(resnets)
+
+    def forward(self, hidden_states, temb=None):
+        hidden_states = self.resnets[0](hidden_states, temb)
+        for attn, resnet in zip(self.attentions, self.resnets[1:]):
+            if attn is not None:
+                hidden_states = attn(hidden_states, temb=temb)
+            hidden_states = resnet(hidden_states, temb)
+        return hidden_states
+
+
+def get_down_block(down_block_type, num_layers, in_channels, out_channels,
+                   temb_channels, add_downsample, resnet_eps, resnet_act_fn,
+                   resnet_groups=None, attention_head_dim=None,
+                   downsample_padding=None, resnet_time_scale_shift="default",
+                   downsample_type=None, dropout=0.0, **unused):
+    if down_block_type == "DownBlock2D":
+        return DownBlock2D(in_channels, out_channels, temb_channels,
+                           dropout=dropout, num_layers=num_layers,
+                           resnet_eps=resnet_eps, resnet_groups=resnet_groups,
+                           add_downsample=add_downsample,
+                           downsample_padding=downsample_padding)
+    if down_block_type == "AttnDownBlock2D":
+        return AttnDownBlock2D(in_channels, out_channels, temb_channels,
+                               dropout=dropout, num_layers=num_layers,
+                               resnet_eps=resnet_eps, resnet_groups=resnet_groups,
+                               attention_head_dim=attention_head_dim,
+                               add_downsample=add_downsample,
+                               downsample_padding=downsample_padding,
+                               downsample_type=downsample_type or "conv")
+    raise ValueError(down_block_type)
+
+
+def get_up_block(up_block_type, num_layers, in_channels, out_channels,
+                 prev_output_channel, temb_channels, add_upsample, resnet_eps,
+                 resnet_act_fn, resnet_groups=None, attention_head_dim=None,
+                 resnet_time_scale_shift="default", upsample_type=None,
+                 dropout=0.0, **unused):
+    if up_block_type == "UpBlock2D":
+        return UpBlock2D(in_channels, prev_output_channel, out_channels,
+                         temb_channels, dropout=dropout, num_layers=num_layers,
+                         resnet_eps=resnet_eps, resnet_groups=resnet_groups,
+                         add_upsample=add_upsample)
+    if up_block_type == "AttnUpBlock2D":
+        return AttnUpBlock2D(in_channels, prev_output_channel, out_channels,
+                             temb_channels, dropout=dropout,
+                             num_layers=num_layers, resnet_eps=resnet_eps,
+                             resnet_groups=resnet_groups,
+                             attention_head_dim=attention_head_dim,
+                             add_upsample=add_upsample,
+                             upsample_type=upsample_type or "conv")
+    raise ValueError(up_block_type)
+
+
+# --------------------------------------------------------------------------
+# AutoencoderKL (diffusers 0.24 vae.py): the SD VAE oracle
+# --------------------------------------------------------------------------
+
+class DownEncoderBlock2D(nn.Module):
+    """VAE encoder block: temb-free resnets + zero-padding downsample."""
+
+    def __init__(self, in_channels, out_channels, dropout=0.0, num_layers=1,
+                 resnet_eps=1e-6, resnet_groups=32, add_downsample=True,
+                 downsample_padding=0):
+        super().__init__()
+        self.resnets = nn.ModuleList([
+            ResnetBlock2D(in_channels=in_channels if i == 0 else out_channels,
+                          out_channels=out_channels, temb_channels=None,
+                          eps=resnet_eps, groups=resnet_groups, dropout=dropout)
+            for i in range(num_layers)])
+        self.downsamplers = (nn.ModuleList([
+            Downsample2D(out_channels, use_conv=True, out_channels=out_channels,
+                         padding=downsample_padding, name="op")])
+            if add_downsample else None)
+
+    def forward(self, hidden_states):
+        for resnet in self.resnets:
+            hidden_states = resnet(hidden_states, temb=None)
+        if self.downsamplers is not None:
+            for d in self.downsamplers:
+                hidden_states = d(hidden_states)
+        return hidden_states
+
+
+class UpDecoderBlock2D(nn.Module):
+    def __init__(self, in_channels, out_channels, dropout=0.0, num_layers=1,
+                 resnet_eps=1e-6, resnet_groups=32, add_upsample=True):
+        super().__init__()
+        self.resnets = nn.ModuleList([
+            ResnetBlock2D(in_channels=in_channels if i == 0 else out_channels,
+                          out_channels=out_channels, temb_channels=None,
+                          eps=resnet_eps, groups=resnet_groups, dropout=dropout)
+            for i in range(num_layers)])
+        self.upsamplers = (nn.ModuleList([
+            Upsample2D(out_channels, use_conv=True, out_channels=out_channels)])
+            if add_upsample else None)
+
+    def forward(self, hidden_states):
+        for resnet in self.resnets:
+            hidden_states = resnet(hidden_states, temb=None)
+        if self.upsamplers is not None:
+            for u in self.upsamplers:
+                hidden_states = u(hidden_states)
+        return hidden_states
+
+
+class VAEEncoder(nn.Module):
+    def __init__(self, in_channels=3, out_channels=4,
+                 block_out_channels=(64,), layers_per_block=2,
+                 norm_num_groups=32, double_z=True):
+        super().__init__()
+        self.conv_in = nn.Conv2d(in_channels, block_out_channels[0], 3, padding=1)
+        self.down_blocks = nn.ModuleList()
+        output_channel = block_out_channels[0]
+        for i, ch in enumerate(block_out_channels):
+            input_channel = output_channel
+            output_channel = ch
+            is_final = i == len(block_out_channels) - 1
+            self.down_blocks.append(DownEncoderBlock2D(
+                input_channel, output_channel, num_layers=layers_per_block,
+                resnet_eps=1e-6, resnet_groups=norm_num_groups,
+                add_downsample=not is_final, downsample_padding=0))
+        self.mid_block = UNetMidBlock2D(
+            block_out_channels[-1], temb_channels=None, resnet_eps=1e-6,
+            resnet_groups=norm_num_groups, attention_head_dim=None,
+            add_attention=True)
+        self.conv_norm_out = nn.GroupNorm(norm_num_groups,
+                                          block_out_channels[-1], eps=1e-6)
+        self.conv_act = nn.SiLU()
+        conv_out_channels = 2 * out_channels if double_z else out_channels
+        self.conv_out = nn.Conv2d(block_out_channels[-1], conv_out_channels, 3,
+                                  padding=1)
+
+    def forward(self, sample):
+        sample = self.conv_in(sample)
+        for block in self.down_blocks:
+            sample = block(sample)
+        sample = self.mid_block(sample)
+        sample = self.conv_norm_out(sample)
+        sample = self.conv_act(sample)
+        return self.conv_out(sample)
+
+
+class VAEDecoder(nn.Module):
+    def __init__(self, in_channels=4, out_channels=3,
+                 block_out_channels=(64,), layers_per_block=2,
+                 norm_num_groups=32):
+        super().__init__()
+        self.conv_in = nn.Conv2d(in_channels, block_out_channels[-1], 3,
+                                 padding=1)
+        self.mid_block = UNetMidBlock2D(
+            block_out_channels[-1], temb_channels=None, resnet_eps=1e-6,
+            resnet_groups=norm_num_groups, attention_head_dim=None,
+            add_attention=True)
+        self.up_blocks = nn.ModuleList()
+        reversed_channels = list(reversed(block_out_channels))
+        output_channel = reversed_channels[0]
+        for i, ch in enumerate(reversed_channels):
+            prev_output_channel = output_channel
+            output_channel = ch
+            is_final = i == len(block_out_channels) - 1
+            self.up_blocks.append(UpDecoderBlock2D(
+                prev_output_channel, output_channel,
+                num_layers=layers_per_block + 1, resnet_eps=1e-6,
+                resnet_groups=norm_num_groups, add_upsample=not is_final))
+        self.conv_norm_out = nn.GroupNorm(norm_num_groups,
+                                          block_out_channels[0], eps=1e-6)
+        self.conv_act = nn.SiLU()
+        self.conv_out = nn.Conv2d(block_out_channels[0], out_channels, 3,
+                                  padding=1)
+
+    def forward(self, sample):
+        sample = self.conv_in(sample)
+        sample = self.mid_block(sample)
+        for block in self.up_blocks:
+            sample = block(sample)
+        sample = self.conv_norm_out(sample)
+        sample = self.conv_act(sample)
+        return self.conv_out(sample)
+
+
+class AutoencoderKL(ModelMixin, ConfigMixin):
+    @register_to_config
+    def __init__(self, in_channels=3, out_channels=3,
+                 block_out_channels=(64,), layers_per_block=1,
+                 latent_channels=4, norm_num_groups=32,
+                 scaling_factor=0.18215, **unused):
+        super().__init__()
+        self.encoder = VAEEncoder(
+            in_channels=in_channels, out_channels=latent_channels,
+            block_out_channels=block_out_channels,
+            layers_per_block=layers_per_block,
+            norm_num_groups=norm_num_groups, double_z=True)
+        self.decoder = VAEDecoder(
+            in_channels=latent_channels, out_channels=out_channels,
+            block_out_channels=block_out_channels,
+            layers_per_block=layers_per_block,
+            norm_num_groups=norm_num_groups)
+        self.quant_conv = nn.Conv2d(2 * latent_channels, 2 * latent_channels, 1)
+        self.post_quant_conv = nn.Conv2d(latent_channels, latent_channels, 1)
+
+    def encode_moments(self, x):
+        return self.quant_conv(self.encoder(x))
+
+    def decode(self, z):
+        return self.decoder(self.post_quant_conv(z))
+
+
+# --------------------------------------------------------------------------
 # sys.modules installation
 # --------------------------------------------------------------------------
 
@@ -558,6 +965,14 @@ def install() -> None:
     attn = mod("diffusers.models.attention",
                Attention=Attention, BasicTransformerBlock=BasicTransformerBlock,
                FeedForward=FeedForward, GEGLU=GEGLU)
+    u2b = mod("diffusers.models.unet_2d_blocks",
+              UNetMidBlock2D=UNetMidBlock2D, get_down_block=get_down_block,
+              get_up_block=get_up_block, DownBlock2D=DownBlock2D,
+              AttnDownBlock2D=AttnDownBlock2D, UpBlock2D=UpBlock2D,
+              AttnUpBlock2D=AttnUpBlock2D,
+              DownEncoderBlock2D=DownEncoderBlock2D,
+              UpDecoderBlock2D=UpDecoderBlock2D)
+    vae_mod = mod("diffusers.models.autoencoder_kl", AutoencoderKL=AutoencoderKL)
     root.models = models
     root.utils = utils
     root.configuration_utils = cfgu
@@ -567,3 +982,6 @@ def install() -> None:
     models.resnet = rn
     models.transformer_2d = t2
     models.attention = attn
+    models.unet_2d_blocks = u2b
+    models.autoencoder_kl = vae_mod
+    root.AutoencoderKL = AutoencoderKL
