@@ -37,13 +37,16 @@ class FusedGroupNorm(nn.Module):
     eps: float = 1e-5
     silu: bool = False
     dtype: jnp.dtype = jnp.float32
+    stats: Optional[str] = None  # 'pallas': streaming stats kernel (for norms
+    # whose producer is a custom-call — see ops/group_norm.py::group_affine)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         c = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
-        return group_norm_silu(x, scale, bias, self.groups, self.eps, self.silu)
+        return group_norm_silu(x, scale, bias, self.groups, self.eps, self.silu,
+                               stats=self.stats)
 
 
 def timestep_embedding(

@@ -331,8 +331,17 @@ def _flash_forward_lanes(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.
     # Measured on self-attention (sq == sk) sites only; cross-attention
     # shapes with large sq and small sk take the same branch by
     # extrapolation (scores tile 512×sk_pad fp32 stays well under VMEM).
-    block_q = min(_BLOCK_Q_SMALL_SK if sk <= 1024 else _BLOCK_Q,
-                  _round_up(sq, _LANE))
+    # q-tile height by K length: tiny K (77-token cross-attn) has almost no
+    # per-program compute, so grid overhead dominates — use the tallest tile
+    # VMEM allows (scores (2048, 128) fp32 = 1 MB) to cut the program count
+    # 4×; the sweep-backed 512/256 tiers cover the self-attention sites.
+    if _round_up(sk, _LANE) <= 128:
+        bq_target = 2048
+    elif sk <= 1024:
+        bq_target = _BLOCK_Q_SMALL_SK
+    else:
+        bq_target = _BLOCK_Q
+    block_q = min(bq_target, _round_up(sq, _LANE))
     sq_pad = _round_up(sq, block_q)
     sk_pad = _round_up(sk, _LANE)
     if sq_pad != sq:
@@ -872,7 +881,12 @@ def flash_attention(
         return jax.nn.dot_product_attention(q, k, v, is_causal=True)
     if q.shape[1] < MIN_PALLAS_SEQ or k.shape[1] < MIN_PALLAS_SEQ:
         # tiny q (temporal regime) or tiny K/V (77-token cross-attention):
-        # XLA's batched attention wins — measured on v5e at 512px CFG batch:
-        # cross-attn s_k=77 XLA 2.52/1.98 ms vs kernel 3.65/2.45 ms (L0/L1).
+        # XLA's batched attention wins. Re-measured in r4 with the LANES
+        # kernel (which kills the head-split relayouts the r3 folded-kernel
+        # measurement paid): small-K lanes dispatch benched 9.90 s headline
+        # at block_q=512 (816 programs — grid overhead dominates the tiny
+        # per-program compute) and 9.85 s with 2048-row tiles, vs 9.81 s for
+        # this XLA route. Negative result; kernels stay numerics-tested for
+        # masked small-K (tests/test_ops.py) but are not dispatched.
         return _xla_reference(q, k, v)
     return _flash_attention_p(q, k, v)

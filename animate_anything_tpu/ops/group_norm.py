@@ -275,7 +275,7 @@ def stats_ok(x2) -> bool:
     return _stats_chunk(s, c, x2.dtype.itemsize) >= 8
 
 
-def group_affine(x2, scale, bias, groups, eps):
+def group_affine(x2, scale, bias, groups, eps, stats=None):
     """Per-(batch, channel) fp32 affine (a, b) such that a·x+b applies
     GroupNorm(+scale/bias) to x2 of shape (n, s, c).
 
@@ -290,7 +290,17 @@ def group_affine(x2, scale, bias, groups, eps):
     the producer is a custom-call boundary, and it shares one implementation
     across the gn_silu_* fused ops."""
     n, s, c = x2.shape
-    if stats_ok(x2):
+    # stats='pallas': per-call override for sites whose PRODUCER is a pallas
+    # custom-call (spatial/temporal transformer entry norms) — there XLA has
+    # no producer epilogue to co-fuse the reduction into, and instead emits a
+    # {1,2,0} relayout copy of the whole tensor before a transposed reduce
+    # (r4 profile: ~0.3 ms per L0 site). The streaming kernel reads the
+    # natural layout. Global default stays 'xla' (see set_default_stats_impl:
+    # forcing ALL sites through the kernel un-fuses conv epilogues, −13 ms).
+    force = (stats == "pallas"
+             and jax.devices()[0].platform in ("tpu", "axon")
+             and _stats_chunk(s, c, x2.dtype.itemsize) >= 8)
+    if force or stats_ok(x2):
         s1, s2 = _pallas_channel_sums(x2)                                # (n, c)
     else:
         xf = x2.astype(jnp.float32)
@@ -309,13 +319,13 @@ def group_affine(x2, scale, bias, groups, eps):
     return a, b
 
 
-def _xla_group_norm(x2, scale, bias, groups, eps, silu):
+def _xla_group_norm(x2, scale, bias, groups, eps, silu, stats=None):
     """Composite GN: stats in fp32, application as ONE fused multiply-add in
     the storage dtype. Folding mean/var/scale/bias into per-(batch, channel)
     a·x+b avoids materializing the full tensor in fp32 — the naive
     (x−mean)·rsqrt·scale+bias form cost several full-tensor fp32 copies and
     layout conversions per site in the 512px UNet step (profiled on v5e)."""
-    a, b = group_affine(x2, scale, bias, groups, eps)
+    a, b = group_affine(x2, scale, bias, groups, eps, stats=stats)
     y = x2 * a[:, None, :].astype(x2.dtype) + b[:, None, :].astype(x2.dtype)
     if silu:
         y = y * jax.nn.sigmoid(y)
@@ -330,9 +340,14 @@ def group_norm_silu(
     eps: float = 1e-5,
     silu: bool = True,
     impl: str | None = None,
+    stats: str | None = None,
 ) -> jnp.ndarray:
     """GroupNorm over the last axis of (n, ..., c) with stats pooled over all
-    non-batch dims (torch GN semantics), optionally fused with SiLU."""
+    non-batch dims (torch GN semantics), optionally fused with SiLU.
+
+    stats='pallas' forces the streaming channel-sums kernel for THIS call's
+    statistics (see group_affine) — used by norms whose producer is a pallas
+    custom-call."""
     impl = impl or _DEFAULT_IMPL
     shape = x.shape
     x2 = x.reshape(shape[0], -1, shape[-1])
@@ -343,5 +358,5 @@ def group_norm_silu(
     if impl == "pallas" and c % groups == 0 and c % 128 == 0 and ch >= 8:
         out = _pallas_group_norm(x2, scale, bias, groups, eps, silu, ch)
     else:
-        out = _xla_group_norm(x2, scale, bias, groups, eps, silu)
+        out = _xla_group_norm(x2, scale, bias, groups, eps, silu, stats=stats)
     return out.reshape(shape)
