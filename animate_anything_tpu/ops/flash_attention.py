@@ -37,6 +37,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 MIN_PALLAS_SEQ = 128    # below this, XLA's batched attention wins
+_LOG2E = 1.4426950408889634  # forward softmax runs in the exp2 domain
+# (FA2 trick): folding log2(e) into the q scale makes the (BQ, Sk) exp
+# pass the VPU-native exp2 instead of exp
 _BLOCK_Q = 256   # measured best on v5e across s=256..4096 (512 ties, 128 worse)
 _BLOCK_Q_SMALL_SK = 512  # lanes fwd q tile when sk<=1024 (sweepable knob)
 _LANE = 128
@@ -79,7 +82,10 @@ def _attn_kernel(valid_k_ref, q_ref, k_ref, v_ref, o_ref, *, scale: float,
         scores = jnp.where(col < valid_k, scores, -1e30)
 
     m = jnp.max(scores, axis=-1, keepdims=True)
-    p = jnp.exp(scores - m)
+    # exp2 softmax (FA2 trick): scale carries log2(e), so scores are already
+    # in the log2 domain — exp2 is the VPU's native transcendental; exp costs
+    # an extra multiply per element at (BQ, Sk) scale
+    p = jnp.exp2(scores - m)
     denom = jnp.sum(p, axis=-1, keepdims=True)
     o = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32) / denom
     o_ref[0] = o.astype(o_ref.dtype)
@@ -89,7 +95,7 @@ def _flash_forward(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarra
     """q (B, Sq, H, D), k/v (B, Sk, H, D) → (B, Sq, H, D)."""
     b, sq, h, d = q.shape
     sk = k.shape[1]
-    scale = 1.0 / (d**0.5)
+    scale = _LOG2E / (d**0.5)
 
     # fold heads into batch; pad seqs to hardware-friendly multiples
     qf = q.transpose(0, 2, 1, 3).reshape(b * h, sq, d)
@@ -294,7 +300,8 @@ def _lanes_kernel(valid_k_ref, q_ref, k_ref, v_ref, o_ref, *, scale: float,
             col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
             scores = jnp.where(col < valid_k_ref[0], scores, -1e30)
         m = jnp.max(scores, axis=-1, keepdims=True)
-        p = jnp.exp(scores - m)
+        # exp2 softmax — scale carries log2(e) (see _attn_kernel)
+        p = jnp.exp2(scores - m)
         denom = jnp.sum(p, axis=-1, keepdims=True)
         o = jnp.dot(p.astype(v.dtype), v[:, sl],
                     preferred_element_type=jnp.float32) / denom
@@ -318,7 +325,7 @@ def _flash_forward_lanes(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.
     b, sq, h, d = q.shape
     sk = k.shape[1]
     c = h * d
-    scale = 1.0 / (d**0.5)
+    scale = _LOG2E / (d**0.5)
 
     qf = q.reshape(b, sq, c)   # bitcasts: producer layout is already (.., h·d)
     kf = k.reshape(b, sk, c)

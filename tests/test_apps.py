@@ -1,6 +1,11 @@
 """Demo-app controller smoke tests (headless path, tiny models)."""
 
 import numpy as np
+import pytest
+
+# full train/eval loops with multi-minute compiles on the 1-core box:
+# the whole module lives in the slow tier (run `pytest tests/` for it)
+pytestmark = pytest.mark.slow
 
 
 def test_animate_controller_mask_semantics(tmp_path):

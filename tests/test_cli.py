@@ -12,6 +12,10 @@ from PIL import Image
 from animate_anything_tpu import cli
 from animate_anything_tpu.core.config import load_config
 
+# full train/eval loops with multi-minute compiles on the 1-core box:
+# the whole module lives in the slow tier (run `pytest tests/` for it)
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def workdir(tmp_path_factory):

@@ -11,6 +11,10 @@ from PIL import Image
 
 from animate_anything_tpu import cli_svd
 
+# full train/eval loops with multi-minute compiles on the 1-core box:
+# the whole module lives in the slow tier (run `pytest tests/` for it)
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def svd_workdir(tmp_path_factory):

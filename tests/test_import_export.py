@@ -109,6 +109,7 @@ def _roundtrip(params, export_fn, convert_fn):
     return sd
 
 
+@pytest.mark.slow
 def test_unet3d_torch_roundtrip():
     cfg = UNet3DConfig.tiny(motion_mask=True, motion_strength=True)
     model = UNet3DConditionModel(cfg)
@@ -162,6 +163,7 @@ def test_expand_conv_in_channels():
     np.testing.assert_allclose(k2[:, :, 4:], 0.0)
 
 
+@pytest.mark.slow
 def test_svd_unet_torch_roundtrip():
     from animate_anything_tpu.models.svd_unet import SVDUNetConfig, UNetSpatioTemporalConditionModel
     from animate_anything_tpu.utils.import_torch import convert_svd_unet, export_svd_unet
@@ -222,6 +224,7 @@ def test_clip_vision_torch_roundtrip():
     assert not missing and not unexpected
 
 
+@pytest.mark.slow
 def test_import_dryrun_tool(tmp_path, capsys):
     """scripts/import_dryrun.py (VERDICT r1 #10): the audit must print its
     full key/shape report BEFORE any strict import can crash — including on

@@ -1,3 +1,4 @@
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -8,6 +9,10 @@ from animate_anything_tpu.models.factory import HashTokenizer
 from animate_anything_tpu.models.vae import AutoencoderKL, VAEConfig
 from animate_anything_tpu.pipelines import LatentToVideoPipeline
 from animate_anything_tpu.pipelines.long_video import generate_long_video
+
+# full train/eval loops with multi-minute compiles on the 1-core box:
+# the whole module lives in the slow tier (run `pytest tests/` for it)
+pytestmark = pytest.mark.slow
 
 
 def test_long_video_autoregressive_chunks():

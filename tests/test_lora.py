@@ -63,6 +63,7 @@ def test_merge_identity_at_init(unet_setup):
     np.testing.assert_allclose(np.asarray(out0), np.asarray(out1), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_lora_train_step_moves_output(unet_setup):
     unet, params, args = unet_setup
     lcfg = LoraConfig(rank=4, targets=("CrossAttention",))
@@ -120,6 +121,7 @@ def test_lora_scale_and_collapse(unet_setup):
     assert float(jnp.abs(unet.apply(merged, *args) - out_base).max()) > 1e-6
 
 
+@pytest.mark.slow
 def test_text_lora_train_step_and_persistence(tmp_path):
     """use_text_lora (reference train_lora.py:392-484): the text-encoder
     adapter trains through the prompt-ids path, merges into the text params,
@@ -224,6 +226,7 @@ def test_lora_rank_dropout():
                         LoraConfig(rank=8, dropout=0.0)) is lora
 
 
+@pytest.mark.slow
 def test_lora_train_step_with_dropout(unet_setup):
     unet, params, _ = unet_setup
     lcfg = LoraConfig(rank=4, targets=("CrossAttention",), dropout=0.25)

@@ -165,6 +165,7 @@ def test_unet3d_no_mask_path_uses_conv_in():
     assert out.shape == (1, 2, 16, 16, 4)
 
 
+@pytest.mark.slow
 def test_unet3d_single_frame_skips_temporal():
     """num_frames==1 case: reference skips temporal modules entirely when the
     (condition-concatenated) sequence has 1 frame — here f=0 is impossible, so
@@ -180,6 +181,7 @@ def test_unet3d_single_frame_skips_temporal():
     assert out.shape == (1, 1, 16, 16, 4)
 
 
+@pytest.mark.slow
 def test_unet3d_odd_resolution_roundtrip():
     """Non-multiple-of-8 spatial size must round-trip through down/up path
     (reference forward_upsample_size behavior)."""
@@ -193,6 +195,7 @@ def test_unet3d_odd_resolution_roundtrip():
     assert out.shape == (1, 2, 24, 8, 4)
 
 
+@pytest.mark.slow
 def test_unet3d_remat_matches_no_remat(tiny_unet_io):
     import dataclasses
 
@@ -212,6 +215,7 @@ def test_unet3d_motion_changes_output(tiny_unet_io):
     assert float(jnp.abs(out1 - out2).max()) > 1e-6
 
 
+@pytest.mark.slow
 def test_unet3d_grad_flows(tiny_unet_io):
     _, model, params, args = tiny_unet_io
 

@@ -694,6 +694,7 @@ def test_spatial_conv_pallas_kernel_interpret(hw, cin, cout):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
 
 
+@pytest.mark.slow
 def test_spatial_conv_cin_split_interpret():
     """cin > _CIN_MAX splits into two accumulating kernel calls."""
     from unittest import mock

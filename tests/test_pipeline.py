@@ -37,6 +37,7 @@ def tiny_pipeline():
     return LatentToVideoPipeline(unet, uparams, vae, vparams, sampler="dpmpp")
 
 
+@pytest.mark.slow
 def test_pipeline_end_to_end(tiny_pipeline):
     pipe = tiny_pipeline
     rng = jax.random.PRNGKey(0)
@@ -59,6 +60,7 @@ def test_pipeline_end_to_end(tiny_pipeline):
     assert np.isfinite(np.asarray(video)).all()
 
 
+@pytest.mark.slow
 def test_pipeline_latent_only_and_determinism(tiny_pipeline):
     pipe = tiny_pipeline
     rng = jax.random.PRNGKey(0)
@@ -76,6 +78,7 @@ def test_pipeline_latent_only_and_determinism(tiny_pipeline):
     np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_pipeline_truncated_schedule(tiny_pipeline):
     pipe = tiny_pipeline
     full = pipe.get_timesteps(10)
@@ -173,6 +176,7 @@ def test_flops_accounting():
     assert abs(d4 / d2 - 2.0) < 0.05
 
 
+@pytest.mark.slow
 def test_pab_rate1_is_exact_and_fast_path_runs():
     """PAB machinery (attention-delta caching across denoise steps, arXiv
     2408.12588): with rates=1 the cond/cache plumbing must reproduce the

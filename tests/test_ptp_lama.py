@@ -120,6 +120,7 @@ def _tiny_cfg():
     return LamaConfig(ngf=8, n_downsampling=2, n_blocks=2, max_features=32)
 
 
+@pytest.mark.slow
 def test_lama_inpaints_masked_region():
     from animate_anything_tpu.models.lama import LargeMaskInpainting, inpaint_video
 

@@ -79,6 +79,7 @@ def test_server_queue_and_http(tmp_path):
     server.shutdown()
 
 
+@pytest.mark.slow
 def test_server_tiny_model_end_to_end(tmp_path):
     """Full path: HTTP request → queue → AnimateController (tiny) → gif."""
     from app import AnimateController
@@ -115,6 +116,7 @@ def test_server_tiny_model_end_to_end(tmp_path):
     server.shutdown()
 
 
+@pytest.mark.slow
 def test_server_svd_route(tmp_path):
     """workload='svd' dispatches to the SVD controller; unknown workloads
     error cleanly."""

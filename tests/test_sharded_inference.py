@@ -1,6 +1,7 @@
 """Frame/batch-sharded inference on the virtual 8-device mesh + profiling
 utilities + dataset fault tolerance."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -11,6 +12,7 @@ from animate_anything_tpu.models.vae import AutoencoderKL, VAEConfig
 from animate_anything_tpu.pipelines import LatentToVideoPipeline
 
 
+@pytest.mark.slow
 def test_pipeline_sharded_matches_single_device():
     ucfg = UNet3DConfig.tiny(motion_mask=True, motion_strength=True)
     unet = UNet3DConditionModel(ucfg)

@@ -5,6 +5,10 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+# SVD pipeline/train compiles are multi-minute on this box; architecture
+# parity coverage lives in the fast tests/test_torch_parity_svd.py
+pytestmark = pytest.mark.slow
+
 from animate_anything_tpu.models.clip_vision import (
     CLIPVisionConfig,
     CLIPVisionModelWithProjection,
@@ -70,6 +74,7 @@ def test_clip_vision_embedding(svd_setup):
     assert emb.shape == (1, 32)
 
 
+@pytest.mark.slow
 def test_mask_svd_pipeline_end_to_end(svd_setup):
     unet, params, vae, vparams, ienc, iparams = svd_setup
     pipe = MaskStableVideoDiffusionPipeline(
@@ -86,6 +91,7 @@ def test_mask_svd_pipeline_end_to_end(svd_setup):
     assert np.isfinite(np.asarray(video)).all()
 
 
+@pytest.mark.slow
 def test_text_svd_v2v_pipeline(svd_setup):
     unet, params, vae, vparams, ienc, iparams = svd_setup
     pipe = TextStableVideoDiffusionPipeline(
@@ -102,6 +108,7 @@ def test_text_svd_v2v_pipeline(svd_setup):
     assert video.shape == (1, 4, 64, 64, 3)
 
 
+@pytest.mark.slow
 def test_svd_train_step(svd_setup):
     unet, params, vae, vparams, ienc, iparams = svd_setup
     tconf = SVDTrainConfig(motion_mask=True, learning_rate=1e-4)
@@ -143,6 +150,7 @@ def test_svd_temporal_block_impl_parity():
     np.testing.assert_allclose(np.asarray(a), np.asarray(bb), atol=5e-5)
 
 
+@pytest.mark.slow
 def test_svd_pab_rate1_exact_and_fast_runs(svd_setup):
     """PAB on the spatio-temporal UNet: rate=1 through the cache machinery is
     bit-exact vs the plain path; real rates run and deviate."""

@@ -104,6 +104,7 @@ def test_tp_rules_check_has_teeth(tp_setup, monkeypatch):
     assert _count_tensor_sharded(shardings.params) == 0
 
 
+@pytest.mark.slow
 def test_tp_train_step_and_forward_parity(tp_setup):
     mesh, unet, params, batch = tp_setup
     tconf = TrainConfig(motion_mask=True, motion_strength=True, cache_latents=True)

@@ -111,6 +111,7 @@ def test_matches_hf_cliptokenizer(tmp_path, text):
     )
 
 
+@pytest.mark.slow
 def test_factory_loads_inrepo_tokenizer(tmp_path):
     """A checkpoint with a tokenizer/ dir gets the in-repo BPE tokenizer;
     a corrupt tokenizer dir is a HARD error (VERDICT r3 weak #5); no

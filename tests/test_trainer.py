@@ -121,6 +121,7 @@ def test_grad_accumulation_defers_update():
     assert _tree_l2_delta(s2.params, state.params) > 0
 
 
+@pytest.mark.slow
 def test_multi_device_dp_zero_sharded_step():
     mesh = create_mesh({AXIS_DATA: 4, AXIS_FRAME: 2})
     _, state, step_fn, _ = _tiny_setup(b=4)
@@ -149,6 +150,7 @@ def test_multi_device_dp_zero_sharded_step():
     assert sharded, "no optimizer state sharded over the data axis"
 
 
+@pytest.mark.slow
 def test_adamw_8bit_state_is_quantized_and_converges():
     import optax
 

@@ -76,6 +76,7 @@ def test_decode_rgba_video_binarized_alpha(tvae):
     assert np.asarray(rgba[..., :3]).min() >= 0 and np.asarray(rgba[..., :3]).max() <= 255
 
 
+@pytest.mark.slow
 def test_stage2_eval_end_to_end(tmp_path):
     from animate_anything_tpu import cli_stage2
 
