@@ -45,7 +45,7 @@ def main():
         v = jax.random.normal(kx, (b, s, h, d), jnp.bfloat16)
 
         row = [f"{tag} fwd:"]
-        for bq in (128, 256, 512):
+        for bq in (128, 256, 384, 512):
             # drive BOTH knobs: _flash_forward_lanes picks _BLOCK_Q_SMALL_SK
             # when sk<=1024 and _BLOCK_Q otherwise — overriding only one
             # would silently re-benchmark the default on half the sites
