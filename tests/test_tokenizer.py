@@ -111,6 +111,27 @@ def test_matches_hf_cliptokenizer(tmp_path, text):
     )
 
 
+REAL_TOKENIZER_DIRS = [
+    "/root/assets/tokenizer",                  # conventional drop point
+    "/root/checkpoints/tokenizer",
+]
+
+
+@pytest.mark.parametrize("tok_dir", REAL_TOKENIZER_DIRS)
+def test_real_clip_vocab_golden_tokens(tok_dir):
+    """Golden encodings against the REAL 49k CLIP vocab — auto-skips in this
+    zero-egress image; place a checkpoint's tokenizer/ dir at one of
+    REAL_TOKENIZER_DIRS when weights become reachable and this pins the
+    canonical ids ('a photo of a cat' = [49406, 320, 1125, 539, 320, 2368,
+    49407])."""
+    if not os.path.isdir(tok_dir):
+        pytest.skip(f"no real tokenizer assets at {tok_dir}")
+    tok = CLIPBPETokenizer.from_pretrained(tok_dir)
+    assert tok.encode("a photo of a cat") == [49406, 320, 1125, 539, 320,
+                                              2368, 49407]
+    assert tok.bos_token_id == 49406 and tok.eos_token_id == 49407
+
+
 @pytest.mark.slow
 def test_factory_loads_inrepo_tokenizer(tmp_path):
     """A checkpoint with a tokenizer/ dir gets the in-repo BPE tokenizer;
