@@ -141,9 +141,25 @@ class CLIPBPETokenizer:
     @classmethod
     def from_pretrained(cls, path: str, model_max_length: int = 77):
         """Load from a tokenizer dir (a diffusers checkpoint's ``tokenizer/``).
-        Honors ``model_max_length`` from ``tokenizer_config.json`` if present."""
+
+        Honors ``model_max_length`` plus bos/eos/unk/pad special-token
+        overrides from ``tokenizer_config.json`` / ``special_tokens_map.json``
+        (the latter wins, matching HF precedence). SD2.x checkpoints — the
+        target family here (cross_attention_dim=1024) — set ``pad_token: "!"``
+        (id 0), NOT eos; the reference pads every prompt to model_max_length
+        (/root/reference/utils/dataset.py:48-55) and feeds all 77 positions to
+        cross-attention, so the pad id changes conditioning features.
+        """
         vocab = os.path.join(path, "vocab.json")
         merges = os.path.join(path, "merges.txt")
+        special: dict[str, str] = {}
+
+        def _token_str(v):
+            # entries are either plain strings or AddedToken dicts
+            if isinstance(v, dict):
+                v = v.get("content")
+            return v if isinstance(v, str) else None
+
         cfg_path = os.path.join(path, "tokenizer_config.json")
         if os.path.isfile(cfg_path):
             try:
@@ -151,9 +167,45 @@ class CLIPBPETokenizer:
                     cfg = json.load(f)
                 model_max_length = int(cfg.get("model_max_length",
                                                model_max_length))
+                for key in ("bos_token", "eos_token", "unk_token", "pad_token"):
+                    tok = _token_str(cfg.get(key))
+                    if tok is not None:
+                        special[key] = tok
             except Exception:
                 pass
-        return cls(vocab, merges, model_max_length=model_max_length)
+        map_path = os.path.join(path, "special_tokens_map.json")
+        if os.path.isfile(map_path):
+            try:
+                with open(map_path, encoding="utf-8") as f:
+                    smap = json.load(f)
+                for key in ("bos_token", "eos_token", "unk_token", "pad_token"):
+                    tok = _token_str(smap.get(key))
+                    if tok is not None:
+                        special[key] = tok
+            except Exception:
+                pass
+        self = cls(vocab, merges, model_max_length=model_max_length)
+        self._apply_special_tokens(special)
+        return self
+
+    def _apply_special_tokens(self, special: dict) -> None:
+        """Apply bos/eos/unk/pad overrides, resolving ids via the vocab.
+        A pad/unk token missing from the vocab falls back to eos (HF behavior
+        for unknown special strings is an added token; here the vocab is
+        closed, so eos is the safe in-vocab fallback)."""
+        if "bos_token" in special and special["bos_token"] in self.encoder:
+            self.bos_token = special["bos_token"]
+            self.bos_token_id = self.encoder[self.bos_token]
+        if "eos_token" in special and special["eos_token"] in self.encoder:
+            self.eos_token = special["eos_token"]
+            self.eos_token_id = self.encoder[self.eos_token]
+        # unk/pad default to eos unless explicitly (and resolvably) overridden
+        self.unk_token = special.get("unk_token", self.eos_token)
+        self.unk_token_id = self.encoder.get(self.unk_token, self.eos_token_id)
+        self.pad_token = special.get("pad_token", self.eos_token)
+        self.pad_token_id = self.encoder.get(self.pad_token, self.eos_token_id)
+        self._bpe_cache.setdefault(self.bos_token, self.bos_token)
+        self._bpe_cache.setdefault(self.eos_token, self.eos_token)
 
     @property
     def vocab_size(self) -> int:

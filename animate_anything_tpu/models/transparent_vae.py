@@ -83,6 +83,7 @@ class UNet384(nn.Module):
                                   name=f"down_blocks_{i}_resnets_{j}")(h)
                 if attn:
                     h = VAEAttentionBlock(groups=g, head_dim=cfg.attention_head_dim,
+                                          eps=cfg.norm_eps,
                                           dtype=self.dtype,
                                           name=f"down_blocks_{i}_attentions_{j}")(h)
                 skips.append(h)
@@ -93,6 +94,7 @@ class UNet384(nn.Module):
         h = ResnetBlock2D(chans[-1], eps=cfg.norm_eps, groups=g, dtype=self.dtype,
                           name="mid_resnets_0")(h)
         h = VAEAttentionBlock(groups=g, head_dim=cfg.attention_head_dim,
+                              eps=cfg.norm_eps,
                               dtype=self.dtype, name="mid_attn")(h)
         h = ResnetBlock2D(chans[-1], eps=cfg.norm_eps, groups=g, dtype=self.dtype,
                           name="mid_resnets_1")(h)
@@ -107,6 +109,7 @@ class UNet384(nn.Module):
                                   name=f"up_blocks_{i}_resnets_{j}")(h)
                 if attn:
                     h = VAEAttentionBlock(groups=g, head_dim=cfg.attention_head_dim,
+                                          eps=cfg.norm_eps,
                                           dtype=self.dtype,
                                           name=f"up_blocks_{i}_attentions_{j}")(h)
             if i < n - 1:

@@ -76,13 +76,15 @@ class VAEAttentionBlock(nn.Module):
 
     groups: int = 32
     head_dim: Optional[int] = None
+    eps: float = 1e-6  # diffusers plumbs resnet_eps here: 1e-6 for the SD
+    # VAE mid-block, norm_eps=1e-5 for UNet384 (layerdiffuse_VAE.py)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         b, hh, ww, c = x.shape
         heads = 1 if self.head_dim is None else c // self.head_dim
-        h = FusedGroupNorm(self.groups, eps=1e-6, name="group_norm")(x)
+        h = FusedGroupNorm(self.groups, eps=self.eps, name="group_norm")(x)
         h = h.reshape(b, hh * ww, c)
         q = nn.Dense(c, dtype=self.dtype, name="to_q")(h)
         k = nn.Dense(c, dtype=self.dtype, name="to_k")(h)

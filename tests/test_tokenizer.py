@@ -111,6 +111,61 @@ def test_matches_hf_cliptokenizer(tmp_path, text):
     )
 
 
+def test_from_pretrained_pad_token_override(tmp_path):
+    """SD2.x checkpoints set pad_token '!' (id 0), not eos; from_pretrained
+    must honor tokenizer_config.json / special_tokens_map.json overrides
+    (ADVICE r4 medium). The reference pads every prompt to model_max_length
+    and cross-attends all 77 positions, so the pad id changes conditioning."""
+    vpath, mpath, vocab = _write_assets(tmp_path)
+    # no override files → HF default: pad == eos
+    tok = CLIPBPETokenizer.from_pretrained(str(tmp_path))
+    assert tok.pad_token_id == tok.eos_token_id
+
+    # special_tokens_map.json with plain-string pad (SD2.x layout)
+    (tmp_path / "special_tokens_map.json").write_text(
+        json.dumps({"bos_token": "<|startoftext|>",
+                    "eos_token": "<|endoftext|>",
+                    "unk_token": "<|endoftext|>", "pad_token": "!"}))
+    tok = CLIPBPETokenizer.from_pretrained(str(tmp_path))
+    assert tok.pad_token == "!" and tok.pad_token_id == vocab["!"]
+    assert tok.pad_token_id != tok.eos_token_id
+    out = tok("hello", padding="max_length", max_length=8).input_ids
+    assert out[0, -1] == vocab["!"]
+
+    # AddedToken-dict form in tokenizer_config.json; map file takes precedence
+    (tmp_path / "tokenizer_config.json").write_text(
+        json.dumps({"model_max_length": 77,
+                    "pad_token": {"content": "?", "lstrip": False}}))
+    tok = CLIPBPETokenizer.from_pretrained(str(tmp_path))
+    assert tok.pad_token == "!"  # special_tokens_map wins
+    (tmp_path / "special_tokens_map.json").unlink()
+    tok = CLIPBPETokenizer.from_pretrained(str(tmp_path))
+    assert tok.pad_token == "?" and tok.pad_token_id == vocab["?"]
+
+    # unresolvable pad string falls back to eos rather than crashing
+    (tmp_path / "tokenizer_config.json").write_text(
+        json.dumps({"pad_token": "<|nonexistent|>"}))
+    tok = CLIPBPETokenizer.from_pretrained(str(tmp_path))
+    assert tok.pad_token_id == tok.eos_token_id
+
+
+def test_pad_override_matches_hf(tmp_path):
+    """HF oracle for the padded tail with a non-eos pad token."""
+    transformers = pytest.importorskip("transformers")
+    vpath, mpath, _ = _write_assets(tmp_path)
+    (tmp_path / "special_tokens_map.json").write_text(
+        json.dumps({"pad_token": "!"}))
+    theirs = transformers.CLIPTokenizer(vpath, mpath, model_max_length=77,
+                                        pad_token="!")
+    ours = CLIPBPETokenizer.from_pretrained(str(tmp_path))
+    np.testing.assert_array_equal(
+        ours("hello world", padding="max_length", truncation=True,
+             max_length=16).input_ids[0],
+        np.asarray(theirs("hello world", padding="max_length", truncation=True,
+                          max_length=16).input_ids),
+    )
+
+
 REAL_TOKENIZER_DIRS = [
     "/root/assets/tokenizer",                  # conventional drop point
     "/root/checkpoints/tokenizer",
