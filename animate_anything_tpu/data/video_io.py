@@ -32,19 +32,13 @@ def have_ffmpeg() -> bool:
     return shutil.which("ffmpeg") is not None and shutil.which("ffprobe") is not None
 
 
-def ffmpeg_probe(path: str) -> tuple[int, int, float, int, int]:
-    """→ (width, height, fps, n_frames, rotation_deg) via ffprobe.
+def parse_probe_json(out: str) -> tuple[int, int, float, int, int]:
+    """ffprobe -of json output → (width, height, fps, n_frames, rotation_deg).
 
-    ``width``/``height`` are the stream's STORED dims; ``rotation_deg`` is the
-    display-rotation side-data (phone footage). ffmpeg auto-applies that
-    rotation during decode, so the decoded frame dims are swapped when
-    |rotation| % 180 == 90 — ``ffmpeg_read_video`` accounts for this."""
-    out = subprocess.run(
-        ["ffprobe", "-v", "error", "-select_streams", "v:0", "-show_entries",
-         "stream=width,height,r_frame_rate,nb_frames,duration"
-         ":stream_side_data=rotation", "-of", "json", path],
-        capture_output=True, text=True, check=True,
-    ).stdout
+    Pure (unit-tested in-image without an ffmpeg binary, tests/test_data.py):
+    - r_frame_rate \"num/den\" → float fps (missing → 8/1);
+    - nb_frames fallback: some containers omit it → duration·fps;
+    - rotation from the display-matrix side-data (phone footage)."""
     st = json.loads(out)["streams"][0]
     num, den = (st.get("r_frame_rate") or "8/1").split("/")
     fps = float(num) / max(float(den), 1.0)
@@ -58,6 +52,49 @@ def ffmpeg_probe(path: str) -> tuple[int, int, float, int, int]:
     return int(st["width"]), int(st["height"]), fps, n, rot
 
 
+def display_dims(width: int, height: int, rotation_deg: int) -> tuple[int, int]:
+    """Stored stream dims → decoded (display) dims: ffmpeg auto-applies the
+    rotation tag during decode, so ±90° tags swap width/height."""
+    if rotation_deg % 180 != 0:
+        return height, width
+    return width, height
+
+
+def decode_cmd(path: str, start: int = 0, max_frames: int | None = None) -> list[str]:
+    """The ffmpeg rawvideo-pipe command for frames [start, start+max_frames).
+    Pure (command construction unit-tested without the binary)."""
+    cmd = ["ffmpeg", "-v", "error", "-i", path]
+    if start or max_frames:
+        end = int(start) + int(max_frames) if max_frames else 2**31 - 1
+        cmd += ["-vf", f"trim=start_frame={int(start)}:end_frame={end},"
+                       "setpts=PTS-STARTPTS"]
+    return cmd + ["-f", "rawvideo", "-pix_fmt", "rgb24", "-"]
+
+
+def frames_from_raw(raw: bytes, width: int, height: int) -> np.ndarray:
+    """rawvideo rgb24 bytes → (f, h, w, 3) uint8, truncating any partial
+    trailing frame (a killed or truncated pipe must not crash the loader)."""
+    n = len(raw) // (width * height * 3)
+    return np.frombuffer(
+        raw[: n * width * height * 3], np.uint8).reshape(n, height, width, 3)
+
+
+def ffmpeg_probe(path: str) -> tuple[int, int, float, int, int]:
+    """→ (width, height, fps, n_frames, rotation_deg) via ffprobe.
+
+    ``width``/``height`` are the stream's STORED dims; ``rotation_deg`` is the
+    display-rotation side-data (phone footage). ffmpeg auto-applies that
+    rotation during decode, so the decoded frame dims are swapped when
+    |rotation| % 180 == 90 — ``ffmpeg_read_video`` accounts for this."""
+    out = subprocess.run(
+        ["ffprobe", "-v", "error", "-select_streams", "v:0", "-show_entries",
+         "stream=width,height,r_frame_rate,nb_frames,duration"
+         ":stream_side_data=rotation", "-of", "json", path],
+        capture_output=True, text=True, check=True,
+    ).stdout
+    return parse_probe_json(out)
+
+
 def ffmpeg_read_video(
     path: str, max_frames: int | None = None, start: int = 0
 ) -> tuple[np.ndarray, float]:
@@ -66,36 +103,36 @@ def ffmpeg_read_video(
 
     The production analog of the reference's decord reader
     (/root/reference/utils/dataset.py:92-105) for real deployment boxes; this
-    image ships no ffmpeg binary, so in-image tests exercise it through a
-    stubbed subprocess (tests/test_data.py) and real datasets go through the
-    ``compress_video.py frames`` offline prep instead.
+    image ships no ffmpeg binary, so the logic lives in the pure helpers
+    above (parse_probe_json / display_dims / decode_cmd / frames_from_raw —
+    unit-tested in-image) and only the two subprocess.run calls are untested
+    here. Real datasets can also go through the ``compress_video.py frames``
+    offline prep instead.
 
     Rotation-tagged clips (phone footage) are auto-rotated by ffmpeg, so the
     raw stream's frame dims are the display dims — swapped vs the probe's
     stored dims when the tag is ±90°. Windowed decode keeps host RAM bounded
     by the requested window, not the clip length."""
     w, h, fps, _, rot = ffmpeg_probe(path)
-    if rot % 180 != 0:
-        w, h = h, w
-    cmd = ["ffmpeg", "-v", "error", "-i", path]
-    if start or max_frames:
-        end = int(start) + int(max_frames) if max_frames else 2**31 - 1
-        cmd += ["-vf", f"trim=start_frame={int(start)}:end_frame={end},"
-                       "setpts=PTS-STARTPTS"]
-    cmd += ["-f", "rawvideo", "-pix_fmt", "rgb24", "-"]
-    raw = subprocess.run(cmd, capture_output=True, check=True).stdout
-    n = len(raw) // (w * h * 3)
-    frames = np.frombuffer(raw[: n * w * h * 3], np.uint8).reshape(n, h, w, 3)
-    return frames, fps
+    w, h = display_dims(w, h, rot)
+    raw = subprocess.run(
+        decode_cmd(path, start, max_frames), capture_output=True, check=True
+    ).stdout
+    return frames_from_raw(raw, w, h), fps
 
 
 class VideoReader:
-    """Uniform access to frames of a clip: len(), fps, get_batch(indices)."""
+    """Uniform access to frames of a clip: len(), fps, get_batch(indices).
 
-    def __init__(self, path: str):
+    ``_probe``/``_decode`` inject the ffprobe/ffmpeg callables for the
+    real-video windowed path — in-image tests exercise the window-cache logic
+    with fakes since this image ships no ffmpeg binary."""
+
+    def __init__(self, path: str, _probe=None, _decode=None):
         self.path = path
         self._frames: np.ndarray | None = None
         self._fps = 8.0
+        self._decode_fn = _decode or ffmpeg_read_video
         ext = os.path.splitext(path)[1].lower()
         if os.path.isdir(path):
             self._files = sorted(
@@ -118,11 +155,11 @@ class VideoReader:
             self._fps = 1000.0 / max(float(dur), 1.0)
             self._pil = img
             self._files = None
-        elif have_ffmpeg():
+        elif _probe is not None or have_ffmpeg():
             # real-video path (mp4/webm/…): lazy windowed ffmpeg rawvideo
             # pipe — nothing is decoded until get_batch asks for a window,
             # so a minute of 1080p no longer lands in host RAM up front
-            _, _, self._fps, self._n, _ = ffmpeg_probe(path)
+            _, _, self._fps, self._n, _ = (_probe or ffmpeg_probe)(path)
             self._files = None
             self._win_start = 0
         else:
@@ -151,7 +188,7 @@ class VideoReader:
                 and hi < self._win_start + len(self._frames)
             )
             if not covered:
-                self._frames, _ = ffmpeg_read_video(
+                self._frames, _ = self._decode_fn(
                     self.path, max_frames=hi - lo + 1, start=lo)
                 self._win_start = lo
             return self._frames[idx - self._win_start]

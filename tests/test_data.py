@@ -306,3 +306,117 @@ def test_ffmpeg_rotation_aware_reshape(monkeypatch):
     frames, fps = video_io.ffmpeg_read_video("phone.mp4")
     assert frames.shape == (f, w_stored, h_stored, 3)  # h/w swapped
     np.testing.assert_array_equal(frames, rotated)
+
+
+# ---- pure ffmpeg-path helpers (VERDICT r4 #4: window/fps/rotation logic
+# testable without the binary) ------------------------------------------------
+
+def test_parse_probe_json_variants():
+    from animate_anything_tpu.data import video_io
+
+    # full metadata with rotation side-data
+    out = json.dumps({"streams": [{
+        "width": 1080, "height": 1920, "r_frame_rate": "30000/1001",
+        "nb_frames": "240",
+        "side_data_list": [{"side_data_type": "Display Matrix",
+                            "rotation": -90}]}]})
+    w, h, fps, n, rot = video_io.parse_probe_json(out)
+    assert (w, h, n, rot) == (1080, 1920, 240, -90)
+    assert abs(fps - 29.97) < 0.01
+    # nb_frames missing → duration·fps fallback
+    out = json.dumps({"streams": [{
+        "width": 64, "height": 48, "r_frame_rate": "8/1",
+        "duration": "2.5"}]})
+    w, h, fps, n, rot = video_io.parse_probe_json(out)
+    assert (fps, n, rot) == (8.0, 20, 0)
+    # r_frame_rate absent → 8/1 default
+    out = json.dumps({"streams": [{"width": 8, "height": 8}]})
+    assert video_io.parse_probe_json(out)[2] == 8.0
+
+
+def test_display_dims_rotation():
+    from animate_anything_tpu.data.video_io import display_dims
+
+    assert display_dims(1080, 1920, 0) == (1080, 1920)
+    assert display_dims(1080, 1920, -90) == (1920, 1080)
+    assert display_dims(1080, 1920, 90) == (1920, 1080)
+    assert display_dims(1080, 1920, 180) == (1080, 1920)
+    assert display_dims(1080, 1920, 270) == (1920, 1080)
+
+
+def test_decode_cmd_windowing():
+    from animate_anything_tpu.data.video_io import decode_cmd
+
+    # whole clip: no trim filter
+    cmd = decode_cmd("a.mp4")
+    assert "-vf" not in cmd and cmd[-1] == "-" and "rawvideo" in cmd
+    # window [10, 26)
+    cmd = decode_cmd("a.mp4", start=10, max_frames=16)
+    vf = cmd[cmd.index("-vf") + 1]
+    assert "start_frame=10" in vf and "end_frame=26" in vf
+    assert "setpts=PTS-STARTPTS" in vf
+    # start only → open end
+    vf = decode_cmd("a.mp4", start=5)
+    assert "start_frame=5" in vf[vf.index("-vf") + 1]
+
+
+def test_frames_from_raw_truncates_partial_frame():
+    from animate_anything_tpu.data.video_io import frames_from_raw
+
+    w, h = 4, 3
+    full = np.arange(2 * h * w * 3, dtype=np.uint8)
+    raw = full.tobytes() + b"\x01\x02"  # 2 frames + partial garbage
+    frames = frames_from_raw(raw, w, h)
+    assert frames.shape == (2, h, w, 3)
+    np.testing.assert_array_equal(frames.ravel(), full)
+
+
+def test_videoreader_window_cache_with_fake_decoder():
+    """The lazy windowed path decodes only the [min, max] index window,
+    reuses it while covered, and re-decodes when the request escapes it."""
+    from animate_anything_tpu.data.video_io import VideoReader
+
+    n, h, w = 100, 6, 8
+    clip = np.stack([np.full((h, w, 3), i, np.uint8) for i in range(n)])
+    calls = []
+
+    def fake_probe(path):
+        return w, h, 10.0, n, 0
+
+    def fake_decode(path, max_frames=None, start=0):
+        calls.append((start, max_frames))
+        return clip[start: start + (max_frames or n)], 10.0
+
+    vr = VideoReader("fake.mp4", _probe=fake_probe, _decode=fake_decode)
+    assert len(vr) == n and vr.fps == 10.0
+
+    out = vr.get_batch(np.array([10, 12, 19]))
+    np.testing.assert_array_equal(out[:, 0, 0, 0], [10, 12, 19])
+    assert calls == [(10, 10)]  # one decode of exactly the window
+    # covered request → no new decode
+    out = vr.get_batch(np.array([11, 18]))
+    np.testing.assert_array_equal(out[:, 0, 0, 0], [11, 18])
+    assert len(calls) == 1
+    # escaping request → new window decode
+    out = vr.get_batch(np.array([50, 64]))
+    np.testing.assert_array_equal(out[:, 0, 0, 0], [50, 64])
+    assert calls[-1] == (50, 15)
+
+
+def test_videoreader_window_cache_fps_resample_integration():
+    """End-to-end: sample_frame_indices drives the windowed reader exactly as
+    the dataset path does (reference get_frame_batch semantics,
+    /root/reference/utils/dataset.py:92-105)."""
+    from animate_anything_tpu.data.video_io import (VideoReader,
+                                                    sample_frame_indices)
+
+    n, h, w = 64, 4, 4
+    clip = np.stack([np.full((h, w, 3), i, np.uint8) for i in range(n)])
+    vr = VideoReader(
+        "fake.mp4", _probe=lambda p: (w, h, 24.0, n, 0),
+        _decode=lambda p, max_frames=None, start=0: (
+            clip[start: start + (max_frames or n)], 24.0))
+    idx = sample_frame_indices(len(vr), 8, vr.fps, sample_fps=8.0)
+    assert len(idx) == 8 and np.all(np.diff(idx) == 3)  # stride 24/8
+    frames = vr.get_batch(idx)
+    np.testing.assert_array_equal(frames[:, 0, 0, 0], idx)
