@@ -142,32 +142,48 @@ class SpatialTransformer(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, context: jnp.ndarray,
-                 pab_reuse: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+                 pab_reuse: Optional[jnp.ndarray] = None,
+                 entry_sums=None, want_stats: bool = False):
         # pab_reuse: traced bool — reuse the cached transformer delta instead
         # of recomputing (Pyramid-Attention-Broadcast-style step caching,
         # arXiv 2408.12588: attention deltas drift slowly across denoise
         # steps). None = always compute (training, default inference).
+        # entry_sums: per-(b·f, c) (Σx, Σx²) from the producing kernel's
+        # epilogue for the entry GroupNorm (see ops/temporal_conv.py).
+        # want_stats=True → returns (y, out_sums) with per-(b·f, c) (Σy, Σy²)
+        # of the residual-summed output from the fused projection kernel
+        # (ops/proj_residual.py); None when that path didn't run.
         if pab_reuse is None:
-            return self._delta(x, context) + x
+            fuse_out = (self.attn_impl == "pallas"
+                        and self.use_linear_projection)
+            if fuse_out:
+                y, sums = self._fused_out(x, context, entry_sums)
+                return (y, sums) if want_stats else y
+            y = self._delta(x, context, entry_sums) + x
+            return (y, None) if want_stats else y
         cache = self.variable("pab", "delta", jnp.zeros, x.shape, self.dtype)
 
-        def compute(mdl, x_, ctx):
-            return mdl._delta(x_, ctx)
+        def compute(mdl, x_, ctx, es):
+            return mdl._delta(x_, ctx, es)
 
-        def reuse(mdl, x_, ctx):
-            _ = mdl._delta(x_, ctx)   # same variable structure; DCE'd branch
+        def reuse(mdl, x_, ctx, es):
+            _ = mdl._delta(x_, ctx, es)  # same variable structure; DCE'd branch
             return cache.value
 
-        delta = nn.cond(pab_reuse, reuse, compute, self, x, context)
+        delta = nn.cond(pab_reuse, reuse, compute, self, x, context, entry_sums)
         cache.value = delta
-        return delta + x
+        y = delta + x
+        return (y, None) if want_stats else y
 
-    def _delta(self, x: jnp.ndarray, context: jnp.ndarray) -> jnp.ndarray:
-        # x: (b*f, h, w, c); context: (b*f, seq, context_dim)
+    def _hidden(self, x: jnp.ndarray, context: jnp.ndarray,
+                entry_sums=None) -> jnp.ndarray:
+        # x: (b*f, h, w, c); context: (b*f, seq, context_dim) → pre-proj_out
+        # hidden (b*f, h·w, inner)
         bf, hh, ww, c = x.shape
         inner = self.heads * self.head_dim
 
-        h = FusedGroupNorm(self.groups, 1e-6, dtype=self.dtype, name="norm")(x)
+        h = FusedGroupNorm(self.groups, 1e-6, dtype=self.dtype, name="norm")(
+            x, sums=entry_sums)
         if self.use_linear_projection:
             h = h.reshape(bf, hh * ww, c)
             h = nn.Dense(inner, dtype=self.dtype, name="proj_in")(h)
@@ -184,7 +200,26 @@ class SpatialTransformer(nn.Module):
                 dtype=self.dtype,
                 name=f"transformer_blocks_{i}",
             )(h, context)
+        return h
 
+    def _fused_out(self, x: jnp.ndarray, context: jnp.ndarray,
+                   entry_sums=None):
+        """proj_out + residual + GN-stats epilogue as one fused kernel."""
+        from animate_anything_tpu.ops.proj_residual import proj_residual_stats
+
+        bf, hh, ww, c = x.shape
+        h = self._hidden(x, context, entry_sums)
+        wk, wb = _DenseParams(h.shape[-1], c, name="proj_out")()
+        y, sums = proj_residual_stats(
+            h.astype(self.dtype), wk, wb,
+            x.reshape(bf, hh * ww, c).astype(self.dtype), impl="pallas")
+        return y.reshape(bf, hh, ww, c), sums
+
+    def _delta(self, x: jnp.ndarray, context: jnp.ndarray,
+               entry_sums=None) -> jnp.ndarray:
+        bf, hh, ww, c = x.shape
+        inner = self.heads * self.head_dim
+        h = self._hidden(x, context, entry_sums)
         if self.use_linear_projection:
             h = nn.Dense(c, dtype=self.dtype, name="proj_out")(h)
             h = h.reshape(bf, hh, ww, c)
@@ -312,26 +347,36 @@ class TemporalTransformer(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, num_frames: int,
-                 pab_reuse: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+                 pab_reuse: Optional[jnp.ndarray] = None,
+                 entry_sums=None, want_stats: bool = False):
         # pab_reuse: traced bool — reuse the cached delta (see
         # SpatialTransformer; temporal deltas drift slowest across steps, so
         # they broadcast at the widest rate)
+        # entry_sums: per-(b, c) (Σx, Σx²) for the entry GroupNorm (per-batch
+        # stats over f·h·w — torch GN on (b,c,f,h,w)); want_stats → returns
+        # (y, out_sums) with per-(b·f, c) sums of the residual-summed output.
         if pab_reuse is None:
-            return self._delta(x, num_frames) + x
+            if self.attn_impl == "pallas":
+                y, sums = self._fused_out(x, num_frames, entry_sums)
+                return (y, sums) if want_stats else y
+            y = self._delta(x, num_frames, entry_sums) + x
+            return (y, None) if want_stats else y
         cache = self.variable("pab", "delta", jnp.zeros, x.shape, self.dtype)
 
-        def compute(mdl, x_):
-            return mdl._delta(x_, num_frames)
+        def compute(mdl, x_, es):
+            return mdl._delta(x_, num_frames, es)
 
-        def reuse(mdl, x_):
-            _ = mdl._delta(x_, num_frames)  # same variables; DCE'd branch
+        def reuse(mdl, x_, es):
+            _ = mdl._delta(x_, num_frames, es)  # same variables; DCE'd branch
             return cache.value
 
-        delta = nn.cond(pab_reuse, reuse, compute, self, x)
+        delta = nn.cond(pab_reuse, reuse, compute, self, x, entry_sums)
         cache.value = delta
-        return delta + x
+        y = delta + x
+        return (y, None) if want_stats else y
 
-    def _delta(self, x: jnp.ndarray, num_frames: int) -> jnp.ndarray:
+    def _hidden(self, x: jnp.ndarray, num_frames: int,
+                entry_sums=None) -> jnp.ndarray:
         from animate_anything_tpu.ops.temporal_block import (
             bfsc_ok, fused_ok, pack_frames, pack_geometry, unpack_frames)
 
@@ -342,7 +387,8 @@ class TemporalTransformer(nn.Module):
 
         h = x.reshape(b, num_frames, hh, ww, c)
         # GroupNorm stats over (f, h, w, c/groups) — matches torch GN on (b,c,f,h,w)
-        h = FusedGroupNorm(self.groups, 1e-6, dtype=self.dtype, name="norm")(h)
+        h = FusedGroupNorm(self.groups, 1e-6, dtype=self.dtype, name="norm")(
+            h, sums=entry_sums)
         h = h.reshape(b, num_frames, hh * ww, c)
         h = nn.Dense(inner, dtype=self.dtype, name="proj_in")(h)
 
@@ -363,7 +409,25 @@ class TemporalTransformer(nn.Module):
             )(h, packed_geom=geom, bfsc=use_bfsc)
         if geom is not None:
             h = unpack_frames(h, geom)
+        return h  # (b, f, h·w, inner)
 
+    def _fused_out(self, x: jnp.ndarray, num_frames: int, entry_sums=None):
+        """proj_out + residual + GN-stats epilogue as one fused kernel."""
+        from animate_anything_tpu.ops.proj_residual import proj_residual_stats
+
+        bf, hh, ww, c = x.shape
+        h = self._hidden(x, num_frames, entry_sums)
+        inner = h.shape[-1]
+        wk, wb = _DenseParams(inner, c, name="proj_out")()
+        y, sums = proj_residual_stats(
+            h.reshape(bf, hh * ww, inner).astype(self.dtype), wk, wb,
+            x.reshape(bf, hh * ww, c).astype(self.dtype), impl="pallas")
+        return y.reshape(bf, hh, ww, c), sums
+
+    def _delta(self, x: jnp.ndarray, num_frames: int,
+               entry_sums=None) -> jnp.ndarray:
+        bf, hh, ww, c = x.shape
+        h = self._hidden(x, num_frames, entry_sums)
         h = nn.Dense(c, dtype=self.dtype, name="proj_out")(h)
         return h.reshape(bf, hh, ww, c)
 

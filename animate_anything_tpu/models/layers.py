@@ -41,12 +41,14 @@ class FusedGroupNorm(nn.Module):
     # whose producer is a custom-call — see ops/group_norm.py::group_affine)
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, sums=None) -> jnp.ndarray:
+        # sums: per-(x.shape[0], c) fp32 (Σx, Σx²) ridden out of the producing
+        # kernel's epilogue (ops/group_norm.py::group_affine)
         c = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
         return group_norm_silu(x, scale, bias, self.groups, self.eps, self.silu,
-                               stats=self.stats)
+                               stats=self.stats, sums=sums)
 
 
 def timestep_embedding(
@@ -153,8 +155,12 @@ class ResnetBlock2D(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, temb: Optional[jnp.ndarray] = None) -> jnp.ndarray:
-        from animate_anything_tpu.ops.spatial_conv import (SPATIAL_CONV_OPTIN,
+    def __call__(self, x: jnp.ndarray, temb: Optional[jnp.ndarray] = None,
+                 norm1_sums=None) -> jnp.ndarray:
+        # norm1_sums: per-(b·f, c) fp32 (Σx, Σx²) ridden out of the producing
+        # kernel (transformer fused output projection / temp-conv epilogue) —
+        # norm1 then skips its standalone stats reduce over x.
+        from animate_anything_tpu.ops.attic.spatial_conv import (SPATIAL_CONV_OPTIN,
                                                            gn_silu_spatial_conv)
 
         in_channels = x.shape[-1]
@@ -182,7 +188,8 @@ class ResnetBlock2D(nn.Module):
                 h, s2, b2, w2, cb2, groups=self.groups, eps=self.eps,
                 residual=shortcut, impl="pallas")
 
-        h = FusedGroupNorm(self.groups, self.eps, silu=True, dtype=self.dtype, name="norm1")(x)
+        h = FusedGroupNorm(self.groups, self.eps, silu=True, dtype=self.dtype,
+                           name="norm1")(x, sums=norm1_sums)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv1")(h)
 
         if temb is not None:
@@ -243,7 +250,13 @@ class TemporalConvLayer(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, num_frames: int, deterministic: bool = True) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, num_frames: int, deterministic: bool = True,
+                 want_stats: bool = False):
+        # want_stats=True → returns (y, entry_sums) where entry_sums is a
+        # per-(b·f, c) fp32 (Σy, Σy²) pair from the final fused stage's
+        # epilogue (or None off the pallas path) — consumed by the following
+        # spatial transformer's entry GroupNorm so no XLA reduce ever reads
+        # this layer's pallas output (see ops/temporal_conv.py).
         from animate_anything_tpu.ops.temporal_conv import gn_silu_tap_conv
 
         # x: (b*f, h, w, c)
@@ -253,17 +266,27 @@ class TemporalConvLayer(nn.Module):
         identity = h
 
         if self.impl == "pallas" and (deterministic or self.dropout == 0):
+            sums = None
+            stats = None
             for idx, (cin, feat, zero) in enumerate(
                 ((c, self.out_channels, False), (self.out_channels, c, False),
                  (c, c, False), (c, c, True)), start=1):
                 gs, gb = _GNParams(cin, name=f"norm{idx}")()
                 w, wb = _TapConvParams(cin, feat, zero_init=zero,
                                        dtype=self.dtype, name=f"conv{idx}")()
-                h = gn_silu_tap_conv(
+                h, stats = gn_silu_tap_conv(
                     h.astype(self.dtype), gs, gb, w[:, 0], wb, groups=32,
                     eps=1e-5, residual=identity if idx == 4 else None,
-                    impl="pallas")
-            return h.reshape(bf, hh, ww, c)
+                    impl="pallas", sums=sums, want_stats=True)
+                # stage i+1's GN stats are per-(b, c): fold the frame axis
+                sums = None if stats is None else (stats[0].sum(1),
+                                                   stats[1].sum(1))
+            out = h.reshape(bf, hh, ww, c)
+            if want_stats:
+                entry = None if stats is None else (
+                    stats[0].reshape(bf, c), stats[1].reshape(bf, c))
+                return out, entry
+            return out
 
         def stage(h, idx, features, zero_init=False):
             h = FusedGroupNorm(32, 1e-5, silu=True, dtype=self.dtype, name=f"norm{idx}")(h)
@@ -280,7 +303,8 @@ class TemporalConvLayer(nn.Module):
         h = stage(h, 4, c, zero_init=True)
 
         h = identity + h
-        return h.reshape(bf, hh, ww, c)
+        out = h.reshape(bf, hh, ww, c)
+        return (out, None) if want_stats else out
 
 
 class TemporalTapConv(nn.Module):

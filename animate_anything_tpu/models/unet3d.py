@@ -150,11 +150,20 @@ class UNet3DConditionModel(nn.Module):
             x = sample.reshape(b * nf, hh, ww, sample.shape[-1])
             x = nn.Conv(ch0, (3, 3), padding=1, dtype=self.dtype, name="conv_in")(x)
 
+        # Producer-epilogue GN sums ride alongside activations between blocks
+        # (the `sums`/`*_sums` plumbing): each pallas producer (fused temp
+        # conv, fused transformer output) emits per-(b·f, c) (Σ, Σ²) that the
+        # next GroupNorm consumes, so no XLA reduce (which prefers the
+        # transposed {3,0,2,1} layout, fighting the pallas calls' required
+        # {3,2,1,0} and generating ~4.9 GB/step of relayout copies — r4 HLO)
+        # ever reads a hot activation.
+        cur_sums = None
         if nf > 1:
-            x = TemporalTransformer(
+            x, cur_sums = TemporalTransformer(
                 8, cfg.attention_head_dim, attn_impl=cfg.attn_impl,
                 dtype=self.dtype, name="transformer_in",
-            )(x, nf, None if pab_reuse is None else pab_reuse.get("temporal"))
+            )(x, nf, None if pab_reuse is None else pab_reuse.get("temporal"),
+              None, True)
 
         # checkpointing is applied per sub-layer INSIDE the blocks via
         # remat= (the reference's granularity, unet_3d_blocks.py:32-120):
@@ -162,12 +171,13 @@ class UNet3DConditionModel(nn.Module):
         # at once and was the HBM peak of 512px training.
         # 4. down
         skips = [x]
+        skip_sums = [cur_sums]
         down_out = ch0
         for i, block_type in enumerate(cfg.down_block_types):
             down_out = cfg.block_out_channels[i]
             is_final = i == len(cfg.block_out_channels) - 1
             if block_type == "CrossAttnDownBlock3D":
-                x, outs = CrossAttnDownBlock3D(
+                x, outs, outs_sums, cur_sums = CrossAttnDownBlock3D(
                     out_channels=down_out,
                     remat=cfg.gradient_checkpointing,
                     num_frames=nf,
@@ -181,9 +191,9 @@ class UNet3DConditionModel(nn.Module):
                     deterministic=deterministic,
                     dtype=self.dtype,
                     name=f"down_blocks_{i}",
-                )(x, emb, context, pab_reuse)
+                )(x, emb, context, pab_reuse, cur_sums)
             elif block_type == "DownBlock3D":
-                x, outs = DownBlock3D(
+                x, outs, outs_sums, cur_sums = DownBlock3D(
                     out_channels=down_out,
                     remat=cfg.gradient_checkpointing,
                     num_frames=nf,
@@ -195,13 +205,14 @@ class UNet3DConditionModel(nn.Module):
                     deterministic=deterministic,
                     dtype=self.dtype,
                     name=f"down_blocks_{i}",
-                )(x, emb)
+                )(x, emb, cur_sums)
             else:
                 raise ValueError(block_type)
             skips.extend(outs)
+            skip_sums.extend(outs_sums)
 
         # 5. mid
-        x = UNetMidBlock3DCrossAttn(
+        x, cur_sums = UNetMidBlock3DCrossAttn(
             in_channels=cfg.block_out_channels[-1],
             remat=cfg.gradient_checkpointing,
             num_frames=nf,
@@ -213,7 +224,7 @@ class UNet3DConditionModel(nn.Module):
             deterministic=deterministic,
             dtype=self.dtype,
             name="mid_block",
-        )(x, emb, context, pab_reuse)
+        )(x, emb, context, pab_reuse, cur_sums)
 
         # 6. up (skip concat; upsample size tracked from the skip stack so odd
         # input sizes round-trip exactly — analog of the reference's
@@ -224,9 +235,11 @@ class UNet3DConditionModel(nn.Module):
             n_layers = cfg.layers_per_block + 1
             block_skips = skips[-n_layers:]
             del skips[-n_layers:]
+            block_skip_sums = skip_sums[-n_layers:]
+            del skip_sums[-n_layers:]
             output_size = skips[-1].shape[1:3] if skips else None
             if block_type == "CrossAttnUpBlock3D":
-                x = CrossAttnUpBlock3D(
+                x, cur_sums = CrossAttnUpBlock3D(
                     out_channels=rev_channels[i],
                     remat=cfg.gradient_checkpointing,
                     num_frames=nf,
@@ -241,9 +254,10 @@ class UNet3DConditionModel(nn.Module):
                     deterministic=deterministic,
                     dtype=self.dtype,
                     name=f"up_blocks_{i}",
-                )(x, block_skips, emb, context, pab_reuse)
+                )(x, block_skips, emb, context, pab_reuse, cur_sums,
+                  block_skip_sums)
             elif block_type == "UpBlock3D":
-                x = UpBlock3D(
+                x, cur_sums = UpBlock3D(
                     out_channels=rev_channels[i],
                     remat=cfg.gradient_checkpointing,
                     num_frames=nf,
@@ -256,7 +270,7 @@ class UNet3DConditionModel(nn.Module):
                     deterministic=deterministic,
                     dtype=self.dtype,
                     name=f"up_blocks_{i}",
-                )(x, block_skips, emb)
+                )(x, block_skips, emb, cur_sums, block_skip_sums)
             else:
                 raise ValueError(block_type)
 
@@ -264,7 +278,7 @@ class UNet3DConditionModel(nn.Module):
         from animate_anything_tpu.models.layers import FusedGroupNorm
 
         x = FusedGroupNorm(cfg.norm_num_groups, cfg.norm_eps, silu=True,
-                           dtype=self.dtype, name="conv_norm_out")(x)
+                           dtype=self.dtype, name="conv_norm_out")(x, cur_sums)
         x = nn.Conv(cfg.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv_out")(x)
 
         x = x.reshape(b, nf, x.shape[1], x.shape[2], cfg.out_channels)

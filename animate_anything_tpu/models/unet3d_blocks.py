@@ -44,10 +44,30 @@ def _sub_layers(remat: bool):
         return ResnetBlock2D, TemporalConvLayer, SpatialTransformer, TemporalTransformer
     return (
         nn.remat(ResnetBlock2D),
-        nn.remat(TemporalConvLayer, static_argnums=(2, 3)),
-        nn.remat(SpatialTransformer),
-        nn.remat(TemporalTransformer, static_argnums=(2,)),
+        nn.remat(TemporalConvLayer, static_argnums=(2, 3, 4)),
+        nn.remat(SpatialTransformer, static_argnums=(5,)),
+        nn.remat(TemporalTransformer, static_argnums=(2, 5)),
     )
+
+
+def _fold_frames(sums, nf: int):
+    """Per-(b·f, c) (Σ, Σ²) → per-(b, c): fold the frame axis (the temporal
+    transformer's entry GroupNorm normalizes per batch over f·h·w)."""
+    if sums is None:
+        return None
+    s1, s2 = sums
+    n, c = s1.shape
+    return (s1.reshape(n // nf, nf, c).sum(1),
+            s2.reshape(n // nf, nf, c).sum(1))
+
+
+def _concat_sums(a, b):
+    """Channel-concat of two per-(n, c) sums pairs (skip-connection concat:
+    stats of concat([x, skip], axis=-1) = per-channel stats side by side)."""
+    if a is None or b is None:
+        return None
+    return (jnp.concatenate([a[0], b[0]], axis=1),
+            jnp.concatenate([a[1], b[1]], axis=1))
 
 
 class CrossAttnDownBlock3D(nn.Module):
@@ -65,39 +85,51 @@ class CrossAttnDownBlock3D(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, temb, context, pab_reuse=None):
+    def __call__(self, x, temb, context, pab_reuse=None, in_sums=None):
+        # in_sums: per-(b·f, c) (Σx, Σx²) of x from the previous producer's
+        # epilogue (resnets_0's norm1 consumes them); the return adds a
+        # parallel list of per-skip sums and the block-output sums, all
+        # feeding consumer GroupNorms without standalone XLA reduces.
         deterministic = self.deterministic
         ps = None if pab_reuse is None else pab_reuse.get("spatial")
         pt = None if pab_reuse is None else pab_reuse.get("temporal")
         heads = self.out_channels // self.head_dim
         Resnet, TempConv, SpatialT, TemporalT = _sub_layers(self.remat)
         outputs = []
+        out_sums = []
+        cur = in_sums
         for i in range(self.num_layers):
             x = Resnet(
                 self.out_channels, eps=self.norm_eps, groups=self.groups,
                 impl=self.attn_impl, dtype=self.dtype, name=f"resnets_{i}",
-            )(x, temb)
+            )(x, temb, cur)
+            entry = None
             if self.num_frames > 1:
-                x = TempConv(
+                x, entry = TempConv(
                     self.out_channels, impl=self.attn_impl, dtype=self.dtype,
                     name=f"temp_convs_{i}",
-                )(x, self.num_frames, deterministic)
-            x = SpatialT(
+                )(x, self.num_frames, deterministic, True)
+            x, sp = SpatialT(
                 heads, self.head_dim, self.cross_attention_dim,
                 groups=self.groups,  # ref passes norm_num_groups=resnet_groups
                 attn_impl=self.attn_impl, dtype=self.dtype, name=f"attentions_{i}",
-            )(x, context, ps)
+            )(x, context, ps, entry, True)
+            cur = sp
             if self.num_frames > 1:
-                x = TemporalT(
+                x, cur = TemporalT(
                     heads, self.head_dim, groups=self.groups,
                     attn_impl=self.attn_impl,
                     dtype=self.dtype, name=f"temp_attentions_{i}",
-                )(x, self.num_frames, pt)
+                )(x, self.num_frames, pt, _fold_frames(sp, self.num_frames),
+                  True)
             outputs.append(x)
+            out_sums.append(cur)
         if self.add_downsample:
             x = Downsample2D(self.out_channels, dtype=self.dtype, name="downsamplers_0")(x)
             outputs.append(x)
-        return x, outputs
+            out_sums.append(None)
+            cur = None
+        return x, outputs, out_sums, cur
 
 
 class DownBlock3D(nn.Module):
@@ -113,25 +145,32 @@ class DownBlock3D(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, temb):
+    def __call__(self, x, temb, in_sums=None):
         deterministic = self.deterministic
         Resnet, TempConv, _, _ = _sub_layers(self.remat)
         outputs = []
+        out_sums = []
+        cur = in_sums
         for i in range(self.num_layers):
             x = Resnet(
                 self.out_channels, eps=self.norm_eps, groups=self.groups,
                 impl=self.attn_impl, dtype=self.dtype, name=f"resnets_{i}",
-            )(x, temb)
+            )(x, temb, cur)
+            cur = None
             if self.num_frames > 1:
-                x = TempConv(
+                x, st = TempConv(
                     self.out_channels, impl=self.attn_impl, dtype=self.dtype,
                     name=f"temp_convs_{i}",
-                )(x, self.num_frames, deterministic)
+                )(x, self.num_frames, deterministic, True)
+                cur = st
             outputs.append(x)
+            out_sums.append(cur)
         if self.add_downsample:
             x = Downsample2D(self.out_channels, dtype=self.dtype, name="downsamplers_0")(x)
             outputs.append(x)
-        return x, outputs
+            out_sums.append(None)
+            cur = None
+        return x, outputs, out_sums, cur
 
 
 class UNetMidBlock3DCrossAttn(nn.Module):
@@ -148,7 +187,7 @@ class UNetMidBlock3DCrossAttn(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, temb, context, pab_reuse=None):
+    def __call__(self, x, temb, context, pab_reuse=None, in_sums=None):
         deterministic = self.deterministic
         ps = None if pab_reuse is None else pab_reuse.get("spatial")
         pt = None if pab_reuse is None else pab_reuse.get("temporal")
@@ -157,34 +196,40 @@ class UNetMidBlock3DCrossAttn(nn.Module):
         x = Resnet(
             self.in_channels, eps=self.norm_eps, groups=self.groups,
             impl=self.attn_impl, dtype=self.dtype, name="resnets_0",
-        )(x, temb)
+        )(x, temb, in_sums)
+        entry = None
         if self.num_frames > 1:
-            x = TempConv(
+            x, entry = TempConv(
                 self.in_channels, impl=self.attn_impl, dtype=self.dtype,
                 name="temp_convs_0",
-            )(x, self.num_frames, deterministic)
+            )(x, self.num_frames, deterministic, True)
+        cur = entry
         for i in range(self.num_layers):
-            x = SpatialT(
+            x, sp = SpatialT(
                 heads, self.head_dim, self.cross_attention_dim,
                 groups=self.groups,  # linear proj everywhere (ref blocks default)
                 attn_impl=self.attn_impl, dtype=self.dtype, name=f"attentions_{i}",
-            )(x, context, ps)
+            )(x, context, ps, entry, True)
+            cur = sp
             if self.num_frames > 1:
-                x = TemporalT(
+                x, cur = TemporalT(
                     heads, self.head_dim, groups=self.groups,
                     attn_impl=self.attn_impl,
                     dtype=self.dtype, name=f"temp_attentions_{i}",
-                )(x, self.num_frames, pt)
+                )(x, self.num_frames, pt, _fold_frames(sp, self.num_frames),
+                  True)
             x = Resnet(
                 self.in_channels, eps=self.norm_eps, groups=self.groups,
                 impl=self.attn_impl, dtype=self.dtype, name=f"resnets_{i + 1}",
-            )(x, temb)
+            )(x, temb, cur)
+            entry = None
             if self.num_frames > 1:
-                x = TempConv(
+                x, entry = TempConv(
                     self.in_channels, impl=self.attn_impl, dtype=self.dtype,
                     name=f"temp_convs_{i + 1}",
-                )(x, self.num_frames, deterministic)
-        return x
+                )(x, self.num_frames, deterministic, True)
+            cur = entry
+        return x, cur
 
 
 class CrossAttnUpBlock3D(nn.Module):
@@ -203,37 +248,48 @@ class CrossAttnUpBlock3D(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, skips, temb, context, pab_reuse=None):
+    def __call__(self, x, skips, temb, context, pab_reuse=None, in_sums=None,
+                 skip_sums=None):
+        # skip_sums: list parallel to ``skips`` with each skip tensor's
+        # per-(b·f, c) sums (or None) — the channel concat's stats are the
+        # channel concat of the parts' stats, so the resnet norm1 can skip
+        # its reduce over the concatenated 90-180MB tensor.
         deterministic = self.deterministic
         ps = None if pab_reuse is None else pab_reuse.get("spatial")
         pt = None if pab_reuse is None else pab_reuse.get("temporal")
         heads = self.out_channels // self.head_dim
         Resnet, TempConv, SpatialT, TemporalT = _sub_layers(self.remat)
+        cur = in_sums
         for i in range(self.num_layers):
+            sk_sums = skip_sums.pop() if skip_sums else None
             x = jnp.concatenate([x, skips.pop()], axis=-1)
             x = Resnet(
                 self.out_channels, eps=self.norm_eps, groups=self.groups,
                 impl=self.attn_impl, dtype=self.dtype, name=f"resnets_{i}",
-            )(x, temb)
+            )(x, temb, _concat_sums(cur, sk_sums))
+            entry = None
             if self.num_frames > 1:
-                x = TempConv(
+                x, entry = TempConv(
                     self.out_channels, impl=self.attn_impl, dtype=self.dtype,
                     name=f"temp_convs_{i}",
-                )(x, self.num_frames, deterministic)
-            x = SpatialT(
+                )(x, self.num_frames, deterministic, True)
+            x, sp = SpatialT(
                 heads, self.head_dim, self.cross_attention_dim,
                 groups=self.groups,  # ref passes norm_num_groups=resnet_groups
                 attn_impl=self.attn_impl, dtype=self.dtype, name=f"attentions_{i}",
-            )(x, context, ps)
+            )(x, context, ps, entry, True)
+            cur = sp
             if self.num_frames > 1:
-                x = TemporalT(
+                x, cur = TemporalT(
                     heads, self.head_dim, groups=self.groups,
                     attn_impl=self.attn_impl,
                     dtype=self.dtype, name=f"temp_attentions_{i}",
-                )(x, self.num_frames, pt)
+                )(x, self.num_frames, pt, _fold_frames(sp, self.num_frames),
+                  True)
         if self.add_upsample:
             x = Upsample2D(self.out_channels, dtype=self.dtype, name="upsamplers_0")(x, self.output_size)
-        return x
+            cur = None
+        return x, cur
 
 
 class UpBlock3D(nn.Module):
@@ -250,20 +306,24 @@ class UpBlock3D(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, skips, temb):
+    def __call__(self, x, skips, temb, in_sums=None, skip_sums=None):
         deterministic = self.deterministic
         Resnet, TempConv, _, _ = _sub_layers(self.remat)
+        cur = in_sums
         for i in range(self.num_layers):
+            sk_sums = skip_sums.pop() if skip_sums else None
             x = jnp.concatenate([x, skips.pop()], axis=-1)
             x = Resnet(
                 self.out_channels, eps=self.norm_eps, groups=self.groups,
                 impl=self.attn_impl, dtype=self.dtype, name=f"resnets_{i}",
-            )(x, temb)
+            )(x, temb, _concat_sums(cur, sk_sums))
+            cur = None
             if self.num_frames > 1:
-                x = TempConv(
+                x, cur = TempConv(
                     self.out_channels, impl=self.attn_impl, dtype=self.dtype,
                     name=f"temp_convs_{i}",
-                )(x, self.num_frames, deterministic)
+                )(x, self.num_frames, deterministic, True)
         if self.add_upsample:
             x = Upsample2D(self.out_channels, dtype=self.dtype, name="upsamplers_0")(x, self.output_size)
-        return x
+            cur = None
+        return x, cur

@@ -58,121 +58,6 @@ def _pick_chunk(s: int, c: int) -> int:
     return best
 
 
-def _gn_stream_kernel(x_hbm, scale_ref, bias_ref, onehot_ref, o_hbm,
-                      xbuf, ybuf, sem_in, sem_out, *, eps: float, silu: bool,
-                      group_size: int, chunks: int, ch: int):
-    """Streaming GN+SiLU for one (S, C) sample: pass 1 accumulates per-group
-    Σx/Σx² over DMA'd chunks, pass 2 normalizes each chunk and DMAs it out.
-    Double-buffered in both directions; VMEM = 2 chunks each way."""
-    onehot = onehot_ref[...]
-    g = onehot.shape[1]
-    n = float(chunks * ch * group_size)
-
-    pid = pl.program_id(0)
-
-    def in_dma(slot, i):
-        return pltpu.make_async_copy(
-            x_hbm.at[pid, pl.ds(i * ch, ch), :], xbuf.at[slot], sem_in.at[slot]
-        )
-
-    def out_dma(slot, i):
-        return pltpu.make_async_copy(
-            ybuf.at[slot], o_hbm.at[pid, pl.ds(i * ch, ch), :], sem_out.at[slot]
-        )
-
-    # ---- pass 1: statistics
-    in_dma(0, 0).start()
-
-    def stat_body(i, acc):
-        slot = i % 2
-
-        @pl.when(i + 1 < chunks)
-        def _():
-            in_dma((i + 1) % 2, i + 1).start()
-
-        in_dma(slot, i).wait()
-        xb = xbuf[slot].astype(jnp.float32)
-        s1 = jax.lax.dot_general(
-            xb, onehot, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        s2 = jax.lax.dot_general(
-            xb * xb, onehot, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        return acc[0] + jnp.sum(s1, axis=0), acc[1] + jnp.sum(s2, axis=0)
-
-    sums, sqs = jax.lax.fori_loop(
-        0, chunks, stat_body, (jnp.zeros((g,), jnp.float32), jnp.zeros((g,), jnp.float32))
-    )
-    mean = sums / n
-    inv = jax.lax.rsqrt(jnp.maximum(sqs / n - mean * mean, 0.0) + eps)
-    # fold everything into per-channel affine: y = x·a + b
-    mean_c = jnp.dot(onehot, mean, preferred_element_type=jnp.float32)
-    inv_c = jnp.dot(onehot, inv, preferred_element_type=jnp.float32)
-    a = inv_c * scale_ref[...].astype(jnp.float32)
-    b = bias_ref[...].astype(jnp.float32) - mean_c * a
-
-    # ---- pass 2: normalize + activate + write
-    in_dma(0, 0).start()
-
-    def norm_body(i, _):
-        slot = i % 2
-
-        @pl.when(i + 1 < chunks)
-        def _():
-            in_dma((i + 1) % 2, i + 1).start()
-
-        in_dma(slot, i).wait()
-
-        @pl.when(i >= 2)
-        def _():
-            out_dma(slot, i - 2).wait()
-
-        xb = xbuf[slot].astype(jnp.float32)
-        y = xb * a[None, :] + b[None, :]
-        if silu:
-            y = y * jax.nn.sigmoid(y)
-        ybuf[slot] = y.astype(ybuf.dtype)
-        out_dma(slot, i).start()
-        return 0
-
-    jax.lax.fori_loop(0, chunks, norm_body, 0)
-    out_dma((chunks - 1) % 2, chunks - 1).wait()
-
-    @pl.when(chunks >= 2)
-    def _():
-        out_dma(chunks % 2, chunks - 2).wait()
-
-
-def _pallas_group_norm(x2, scale, bias, groups, eps, silu, ch):
-    n, s, c = x2.shape
-    onehot = _onehot(c, groups)
-    chunks = s // ch
-    return pl.pallas_call(
-        functools.partial(
-            _gn_stream_kernel, eps=eps, silu=silu,
-            group_size=c // groups, chunks=chunks, ch=ch,
-        ),
-        grid=(n,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),   # full (n, s, c), sliced by pid
-            pl.BlockSpec((c,), lambda i: (0,)),
-            pl.BlockSpec((c,), lambda i: (0,)),
-            pl.BlockSpec((c, groups), lambda i: (0, 0)),
-        ],
-        out_specs=pl.BlockSpec(memory_space=pl.ANY),
-        out_shape=jax.ShapeDtypeStruct((n, s, c), x2.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((2, ch, c), x2.dtype),
-            pltpu.VMEM((2, ch, c), x2.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
-        ),
-    )(x2, scale, bias, onehot)
-
-
 def _stats_kernel(x_ref, s1_ref, s2_ref):
     """One grid step: accumulate per-channel Σx and Σx² for one row chunk."""
     j = pl.program_id(1)
@@ -275,9 +160,17 @@ def stats_ok(x2) -> bool:
     return _stats_chunk(s, c, x2.dtype.itemsize) >= 8
 
 
-def group_affine(x2, scale, bias, groups, eps, stats=None):
+def group_affine(x2, scale, bias, groups, eps, stats=None, sums=None):
     """Per-(batch, channel) fp32 affine (a, b) such that a·x+b applies
     GroupNorm(+scale/bias) to x2 of shape (n, s, c).
+
+    ``sums``: optional precomputed per-(n, c) fp32 (Σx, Σx²) over the row
+    axis — produced as an epilogue of the kernel that PRODUCED x2 (e.g. the
+    fused temporal-conv stage, ops/temporal_conv.py). When the producer is a
+    pallas custom-call XLA cannot fuse the stats reduction into it and emits
+    a standalone {1,2,0}-relayout + transposed-reduce pass (r4 profile:
+    ~10 ms/step across the transformer entry norms); riding the sums out of
+    the producer kernel removes both that pass and the relayout.
 
     Stats are accumulated per-CHANNEL over the row axis first (a
     lane-preserving reduce on the natural (n, s, c) layout) and only then
@@ -300,7 +193,11 @@ def group_affine(x2, scale, bias, groups, eps, stats=None):
     force = (stats == "pallas"
              and jax.devices()[0].platform in ("tpu", "axon")
              and _stats_chunk(s, c, x2.dtype.itemsize) >= 8)
-    if force or stats_ok(x2):
+    if sums is not None:
+        s1, s2 = sums                                                    # (n, c)
+        s1 = s1.astype(jnp.float32)
+        s2 = s2.astype(jnp.float32)
+    elif force or stats_ok(x2):
         s1, s2 = _pallas_channel_sums(x2)                                # (n, c)
     else:
         xf = x2.astype(jnp.float32)
@@ -319,13 +216,13 @@ def group_affine(x2, scale, bias, groups, eps, stats=None):
     return a, b
 
 
-def _xla_group_norm(x2, scale, bias, groups, eps, silu, stats=None):
+def _xla_group_norm(x2, scale, bias, groups, eps, silu, stats=None, sums=None):
     """Composite GN: stats in fp32, application as ONE fused multiply-add in
     the storage dtype. Folding mean/var/scale/bias into per-(batch, channel)
     a·x+b avoids materializing the full tensor in fp32 — the naive
     (x−mean)·rsqrt·scale+bias form cost several full-tensor fp32 copies and
     layout conversions per site in the 512px UNet step (profiled on v5e)."""
-    a, b = group_affine(x2, scale, bias, groups, eps, stats=stats)
+    a, b = group_affine(x2, scale, bias, groups, eps, stats=stats, sums=sums)
     y = x2 * a[:, None, :].astype(x2.dtype) + b[:, None, :].astype(x2.dtype)
     if silu:
         y = y * jax.nn.sigmoid(y)
@@ -341,13 +238,16 @@ def group_norm_silu(
     silu: bool = True,
     impl: str | None = None,
     stats: str | None = None,
+    sums: tuple | None = None,
 ) -> jnp.ndarray:
     """GroupNorm over the last axis of (n, ..., c) with stats pooled over all
     non-batch dims (torch GN semantics), optionally fused with SiLU.
 
     stats='pallas' forces the streaming channel-sums kernel for THIS call's
     statistics (see group_affine) — used by norms whose producer is a pallas
-    custom-call."""
+    custom-call. ``sums``: precomputed per-(n, c) fp32 (Σx, Σx²) ridden out
+    of the producing kernel's epilogue — the GN then costs only the fused
+    a·x+b apply pass."""
     impl = impl or _DEFAULT_IMPL
     shape = x.shape
     x2 = x.reshape(shape[0], -1, shape[-1])
@@ -355,8 +255,15 @@ def group_norm_silu(
     ch = _pick_chunk(x2.shape[1], c) if impl == "pallas" else 0
     # Mosaic DMA/tiling requires a lane-aligned channel dim (c % 128) — the
     # 320-ch level routes to XLA (measured compile failure otherwise)
-    if impl == "pallas" and c % groups == 0 and c % 128 == 0 and ch >= 8:
+    if (impl == "pallas" and sums is None and c % groups == 0 and c % 128 == 0
+            and ch >= 8):
+        # dormant one-pass streaming kernel (measured negative result;
+        # ops/attic/streaming_group_norm.py) — opt-in only
+        from animate_anything_tpu.ops.attic.streaming_group_norm import (
+            _pallas_group_norm)
+
         out = _pallas_group_norm(x2, scale, bias, groups, eps, silu, ch)
     else:
-        out = _xla_group_norm(x2, scale, bias, groups, eps, silu, stats=stats)
+        out = _xla_group_norm(x2, scale, bias, groups, eps, silu, stats=stats,
+                              sums=sums)
     return out.reshape(shape)

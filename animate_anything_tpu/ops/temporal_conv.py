@@ -66,7 +66,8 @@ def _pick_chunk(f: int, cin: int, cout: int, s: int = 0) -> int:
     return ch
 
 
-def _kernel(x_ref, a_ref, b_ref, w_ref, bias_ref, res_ref, o_ref, *, f: int):
+def _kernel(x_ref, a_ref, b_ref, w_ref, bias_ref, res_ref, o_ref,
+            s1_ref=None, s2_ref=None, *, f: int):
     x = x_ref[0].astype(jnp.float32)              # (f, ch, cin)
     ln = x * a_ref[0][None] + b_ref[0][None]      # a/b refs: (1, 1, cin)
     ln = (ln * jax.nn.sigmoid(ln)).astype(x_ref.dtype)
@@ -89,13 +90,31 @@ def _kernel(x_ref, a_ref, b_ref, w_ref, bias_ref, res_ref, o_ref, *, f: int):
     y = y + bias_ref[0][None, :]
     if res_ref is not None:
         y = y + res_ref[0].reshape(f * ch, cout).astype(jnp.float32)
-    o_ref[0] = y.reshape(f, ch, cout).astype(o_ref.dtype)
+    yc = y.reshape(f, ch, cout).astype(o_ref.dtype)
+    o_ref[0] = yc
+    if s1_ref is not None:
+        # GN-stats epilogue: per-(batch, frame, channel) Σy/Σy² of the STORED
+        # output (post-cast), accumulated across the sequential spatial-chunk
+        # grid axis. The consumer GroupNorm (next stage / the following
+        # spatial transformer's entry norm) takes these precomputed sums, so
+        # XLA never emits a standalone transposed-reduce pass over this
+        # kernel's output (the r4-profile "standalone GN stats" +
+        # {3,0,2,1}-relayout bucket).
+        @pl.when(pl.program_id(1) == 0)
+        def _():
+            s1_ref[...] = jnp.zeros_like(s1_ref)
+            s2_ref[...] = jnp.zeros_like(s2_ref)
+
+        yf = yc.astype(jnp.float32)
+        s1_ref[0] += jnp.sum(yf, axis=1)
+        s2_ref[0] += jnp.sum(yf * yf, axis=1)
 
 
-def _pallas_stage(x, a, b, w, bias, residual, ch: int):
+def _pallas_stage(x, a, b, w, bias, residual, ch: int, emit_stats: bool = False):
     bsz, f, s, cin = x.shape
     cout = w.shape[-1]
     s_pad = _rup(s, ch)
+    assert not (emit_stats and s_pad != s)  # padded garbage rows would pollute
     if s_pad != s:
         pad = ((0, 0), (0, 0), (0, s_pad - s), (0, 0))
         x = jnp.pad(x, pad)
@@ -114,22 +133,34 @@ def _pallas_stage(x, a, b, w, bias, residual, ch: int):
         pl.BlockSpec((1, cout), lambda ib, isc: (0, 0)),
     ]
     args = [x, a.reshape(bsz, 1, cin), b.reshape(bsz, 1, cin), w, bias.reshape(1, cout)]
-    if residual is not None:
+    has_res = residual is not None
+    if has_res:
         in_specs.append(pl.BlockSpec((1, f, ch, cout), blk))
         args.append(residual)
-        kern = functools.partial(_kernel, f=f)
-    else:
-        kern = functools.partial(
-            lambda xr, ar, br, wr, br2, orf, *, f: _kernel(xr, ar, br, wr, br2, None, orf, f=f),
-            f=f,
-        )
+
+    def kern(*refs):
+        xr, ar, br, wr, bi = refs[:5]
+        rest = list(refs[5:])
+        rr = rest.pop(0) if has_res else None
+        orf = rest.pop(0)
+        s1r, s2r = (rest if emit_stats else (None, None))
+        _kernel(xr, ar, br, wr, bi, rr, orf, s1r, s2r, f=f)
+
+    out_specs = pl.BlockSpec((1, f, ch, cout), blk)
+    out_shape = jax.ShapeDtypeStruct((bsz, f, s_pad, cout), x.dtype)
+    if emit_stats:
+        # accumulated over the sequential chunk axis: block index pinned to 0
+        stat_spec = pl.BlockSpec((1, f, cout), lambda ib, isc: (ib, 0, 0))
+        stat_shape = jax.ShapeDtypeStruct((bsz, f, cout), jnp.float32)
+        out_specs = [out_specs, stat_spec, stat_spec]
+        out_shape = [out_shape, stat_shape, stat_shape]
 
     out = pl.pallas_call(
         kern,
         grid=(bsz, s_pad // ch),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, f, ch, cout), blk),
-        out_shape=jax.ShapeDtypeStruct((bsz, f, s_pad, cout), x.dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
         ),
@@ -139,6 +170,8 @@ def _pallas_stage(x, a, b, w, bias, residual, ch: int):
             transcendentals=bsz * f * s_pad * cin,
         ),
     )(*args)
+    if emit_stats:
+        return out  # (y, s1, s2); never padded
     return out[:, :, :s] if s_pad != s else out
 
 
@@ -156,18 +189,28 @@ def _reference_stage(x, a, b, w, bias, residual):
     return y.astype(x.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
-def _fused_stage_p(x, a, b, w, bias, residual, ch):
-    return _pallas_stage(x, a, b, w, bias, residual, ch)
+def _reference_stage_stats(x, a, b, w, bias, residual):
+    """Twin of the stats-emitting kernel: (y, Σy, Σy²) per (b, f, c), sums of
+    the STORED (post-cast) output, matching the kernel epilogue."""
+    y = _reference_stage(x, a, b, w, bias, residual)
+    yf = y.astype(jnp.float32)
+    return y, jnp.sum(yf, axis=2), jnp.sum(yf * yf, axis=2)
 
 
-def _fused_fwd(x, a, b, w, bias, residual, ch):
-    return _pallas_stage(x, a, b, w, bias, residual, ch), (x, a, b, w, bias, residual)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+def _fused_stage_p(x, a, b, w, bias, residual, ch, emit_stats=False):
+    return _pallas_stage(x, a, b, w, bias, residual, ch, emit_stats)
 
 
-def _fused_bwd(ch, res, g):
+def _fused_fwd(x, a, b, w, bias, residual, ch, emit_stats):
+    return (_pallas_stage(x, a, b, w, bias, residual, ch, emit_stats),
+            (x, a, b, w, bias, residual))
+
+
+def _fused_bwd(ch, emit_stats, res, g):
     x, a, b, w, bias, residual = res
-    _, vjp = jax.vjp(_reference_stage, x, a, b, w, bias, residual)
+    fn = _reference_stage_stats if emit_stats else _reference_stage
+    _, vjp = jax.vjp(fn, x, a, b, w, bias, residual)
     return vjp(g)
 
 
@@ -185,17 +228,26 @@ def gn_silu_tap_conv(
     eps: float = 1e-5,
     residual: jnp.ndarray | None = None,
     impl: str | None = None,
-) -> jnp.ndarray:
+    sums: tuple | None = None,
+    want_stats: bool = False,
+):
     """One TemporalConvLayer stage: GroupNorm(+affine) → SiLU → 3-tap frame
     conv (zero-padded), optionally + residual. Stats are per (batch, group)
-    over (f, s, c/groups) — torch GroupNorm semantics on (b,c,f,h,w)."""
+    over (f, s, c/groups) — torch GroupNorm semantics on (b,c,f,h,w).
+
+    ``sums``: precomputed per-(bsz, cin) fp32 (Σx, Σx²) of this stage's INPUT
+    (the previous stage's epilogue), skipping the standalone stats read.
+    ``want_stats=True``: returns ``(y, stats)`` where stats is per-(bsz, f,
+    cout) fp32 ``(Σy, Σy²)`` of the output when the pallas kernel ran (its
+    epilogue), else None — chaining temp-conv stages and feeding the next
+    module's GroupNorm without any XLA reduce over a pallas output."""
     bsz, f, s, cin = x.shape
     # ---- stats + affine fold (XLA, fp32; channel-first lane-preserving
     # reduction — see ops/group_norm.py group_affine)
     from animate_anything_tpu.ops.group_norm import group_affine
 
     a, b = group_affine(x.reshape(bsz, f * s, cin), gn_scale, gn_bias,
-                        groups, eps)
+                        groups, eps, sums=sums)
 
     w = w.astype(x.dtype)
     bias = bias.astype(jnp.float32)
@@ -210,5 +262,11 @@ def gn_silu_tap_conv(
     if use_pallas and f >= 2:
         ch = _pick_chunk(f, cin, w.shape[-1], s)
         if ch >= 8:
-            return _fused_stage_p(x, a, b, w, bias, residual, ch)
-    return _reference_stage(x, a, b, w, bias, residual)
+            emit = want_stats and (s % ch == 0)
+            out = _fused_stage_p(x, a, b, w, bias, residual, ch, emit)
+            if emit:
+                y, s1, s2 = out
+                return y, (s1, s2)
+            return (out, None) if want_stats else out
+    y = _reference_stage(x, a, b, w, bias, residual)
+    return (y, None) if want_stats else y

@@ -13,7 +13,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from animate_anything_tpu.ops import spatial_conv as sc
+from animate_anything_tpu.ops.attic import spatial_conv as sc
 
 
 def bench(fn, *args):

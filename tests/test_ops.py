@@ -63,21 +63,6 @@ def test_flash_attention_short_kv_lanes_grad():
                                    atol=5e-4, rtol=1e-3)
 
 
-def test_flash_attention_packed_heads_interpret_matches_xla():
-    # dormant packed-heads kernel (natural (b,s,h·d) layout, streamed K):
-    # numerics stay verified even though dispatch doesn't engage it.
-    from animate_anything_tpu.ops.flash_attention import _flash_forward_packed
-
-    for (b, sq, sk, h) in [(2, 256, 256, 5), (1, 300, 77, 2)]:
-        q = jax.random.normal(jax.random.PRNGKey(0), (b, sq, h, 64))
-        k = jax.random.normal(jax.random.PRNGKey(1), (b, sk, h, 64))
-        v = jax.random.normal(jax.random.PRNGKey(2), (b, sk, h, 64))
-        ref = jax.nn.dot_product_attention(q, k, v)
-        with pltpu.force_tpu_interpret_mode():
-            out = _flash_forward_packed(q, k, v)
-        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
-
-
 def test_flash_attention_grad():
     q = jax.random.normal(jax.random.PRNGKey(0), (1, 128, 1, 64))
 
@@ -161,17 +146,6 @@ def test_group_norm_pick_chunk():
     assert 4096 % _pick_chunk(4096, 320) == 0
     assert _pick_chunk(17 * 4096, 320) % 8 == 0
     assert _pick_chunk(7, 320) == 0  # prime, no divisor → fallback
-
-
-@pytest.mark.parametrize("silu", [True, False])
-def test_group_norm_streaming_kernel_parity(silu):
-    x = jax.random.normal(jax.random.PRNGKey(0), (3, 48, 128))
-    scale = jnp.linspace(0.5, 1.5, 128)
-    bias = jnp.linspace(-1, 1, 128)
-    ref = group_norm_silu(x, scale, bias, groups=32, silu=silu, impl="xla")
-    with pltpu.force_tpu_interpret_mode():
-        out = group_norm_silu(x, scale, bias, groups=32, silu=silu, impl="pallas")
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
 
 
 def test_group_norm_stats_kernel_parity_and_grad():
@@ -465,6 +439,49 @@ def test_gn_silu_tap_conv_pallas_kernel_interpret():
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
 
 
+def test_gn_silu_tap_conv_stats_epilogue_interpret():
+    """The stats-emitting kernel returns (y, Σy, Σy²) per (b, f, c) matching
+    the XLA twin — the epilogue that lets consumer GroupNorms skip their
+    standalone reduce over this kernel's output."""
+    from animate_anything_tpu.ops.temporal_conv import (
+        _pallas_stage, _reference_stage_stats)
+
+    b, f, s, cin, cout = 2, 5, 24, 128, 128
+    x = jax.random.normal(jax.random.PRNGKey(0), (b, f, s, cin))
+    a = jax.random.normal(jax.random.PRNGKey(1), (b, cin)) * 0.1 + 1.0
+    bv = jax.random.normal(jax.random.PRNGKey(2), (b, cin)) * 0.1
+    w = jax.random.normal(jax.random.PRNGKey(3), (3, cin, cout)) * 0.05
+    bias = jax.random.normal(jax.random.PRNGKey(4), (cout,)) * 0.1
+    res = jax.random.normal(jax.random.PRNGKey(5), (b, f, s, cout))
+    ref_y, ref_s1, ref_s2 = _reference_stage_stats(x, a, bv, w, bias, res)
+    with pltpu.force_tpu_interpret_mode():
+        y, s1, s2 = _pallas_stage(x, a, bv, w, bias, res, ch=8,
+                                  emit_stats=True)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref_y), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(ref_s1), rtol=2e-5,
+                               atol=1e-3)
+    np.testing.assert_allclose(np.asarray(s2), np.asarray(ref_s2), rtol=2e-5,
+                               atol=1e-3)
+
+
+def test_gn_silu_tap_conv_sums_input_matches_recompute():
+    """Feeding precomputed (Σx, Σx²) into gn_silu_tap_conv yields the same
+    output as letting it reduce the input itself (the inter-stage chaining
+    path in TemporalConvLayer)."""
+    from animate_anything_tpu.ops.temporal_conv import gn_silu_tap_conv
+
+    b, f, s, c = 2, 4, 16, 64
+    x = jax.random.normal(jax.random.PRNGKey(0), (b, f, s, c))
+    w = jax.random.normal(jax.random.PRNGKey(1), (3, c, c)) * 0.05
+    xf = x.astype(jnp.float32).reshape(b, f * s, c)
+    sums = (xf.sum(1), (xf * xf).sum(1))
+    y0 = gn_silu_tap_conv(x, jnp.ones((c,)), jnp.zeros((c,)), w,
+                          jnp.zeros((c,)), groups=8)
+    y1 = gn_silu_tap_conv(x, jnp.ones((c,)), jnp.zeros((c,)), w,
+                          jnp.zeros((c,)), groups=8, sums=sums)
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(y1), atol=1e-5)
+
+
 def test_gn_silu_tap_conv_grad_finite():
     from animate_anything_tpu.ops.temporal_conv import gn_silu_tap_conv
 
@@ -600,134 +617,100 @@ def test_fused_temporal_block_head_grouped_matches_reference():
 
 # ---- fused GN+SiLU+conv3x3 (ops/conv3x3.py) --------------------------------
 
-def test_gn_silu_conv3x3_folded_stats_match_composite():
-    """The op's folded-stats formulation equals FusedGroupNorm+SiLU+nn.Conv
-    (the op itself is dormant in the model — see ops/conv3x3.py STATUS)."""
-    import flax.linen as nn
-
-    from animate_anything_tpu.models.layers import FusedGroupNorm
-    from animate_anything_tpu.ops.conv3x3 import gn_silu_conv3x3
-
-    n, res, c = 4, 10, 64
-    x = jax.random.normal(jax.random.PRNGKey(0), (n, res, res, c))
-    gnorm = FusedGroupNorm(8, 1e-5, silu=True)
-    conv = nn.Conv(c, (3, 3), padding=1)
-    pg = gnorm.init(jax.random.PRNGKey(1), x)
-    pc = conv.init(jax.random.PRNGKey(2), x)
-    want = conv.apply(pc, gnorm.apply(pg, x))
-    got = gn_silu_conv3x3(
-        x, pg["params"]["scale"], pg["params"]["bias"],
-        pc["params"]["kernel"], pc["params"]["bias"], groups=8)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)
-
-
-def test_gn_silu_conv3x3_pallas_kernel_interpret():
-    from animate_anything_tpu.ops.conv3x3 import _pallas_stage, _reference_stage_exact
-
-    n, H, W, cin, cout = 2, 6, 9, 16, 16
-    x = jax.random.normal(jax.random.PRNGKey(0), (n, H, W, cin))
-    a = jax.random.normal(jax.random.PRNGKey(1), (n, cin)) * 0.1 + 1.0
-    b = jax.random.normal(jax.random.PRNGKey(2), (n, cin)) * 0.1
-    w9 = jax.random.normal(jax.random.PRNGKey(3), (9, cin, cout)) * 0.1
-    bias = jax.random.normal(jax.random.PRNGKey(4), (n, 1, cout)) * 0.1
-    ref = _reference_stage_exact(x, a, b, w9, bias)
-    with pltpu.force_tpu_interpret_mode():
-        got = _pallas_stage(x, a, b, w9, bias)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
-
-
-def test_gn_silu_conv3x3_grad_finite():
-    from animate_anything_tpu.ops.conv3x3 import gn_silu_conv3x3
-
-    n, res, c = 2, 6, 16
-    x = jax.random.normal(jax.random.PRNGKey(0), (n, res, res, c))
-    w = jax.random.normal(jax.random.PRNGKey(1), (3, 3, c, c)) * 0.1
-
-    def loss(x, w):
-        y = gn_silu_conv3x3(x, jnp.ones((c,)), jnp.zeros((c,)), w,
-                            jnp.zeros((c,)), groups=4)
-        return (y ** 2).sum()
-
-    gx, gw = jax.grad(loss, argnums=(0, 1))(x, w)
-    assert np.isfinite(np.asarray(gx)).all() and float(jnp.abs(gx).sum()) > 0
-    assert np.isfinite(np.asarray(gw)).all() and float(jnp.abs(gw).sum()) > 0
-
 
 # ---- fused spatial conv3x3 v2 (ops/spatial_conv.py) -------------------------
 
 
-def test_spatial_conv_reference_matches_composite(monkeypatch):
-    """Folded-stats XLA twin equals FusedGroupNorm→SiLU→nn.Conv semantics,
-    and the fused ResnetBlock2D path shares the composite path's param tree.
-    (The kernel is dormant — a measured negative result — so the fused
-    ResnetBlock2D routing needs the AA_SPATIAL_CONV=1 opt-in.)"""
-    from animate_anything_tpu.models.layers import ResnetBlock2D
+# ---- fused proj_out + residual + stats (ops/proj_residual.py) ---------------
 
-    monkeypatch.setenv("AA_SPATIAL_CONV", "1")
-    n, res, c = 3, 16, 64
-    x = jax.random.normal(jax.random.PRNGKey(0), (n, res, res, c))
-    temb = jax.random.normal(jax.random.PRNGKey(1), (n, 32))
-    m_ref = ResnetBlock2D(c, groups=8)
-    m_fus = ResnetBlock2D(c, groups=8, impl="pallas")  # CPU → XLA twin path
-    p = m_ref.init(jax.random.PRNGKey(2), x, temb)
-    p2 = m_fus.init(jax.random.PRNGKey(2), x, temb)
-    assert jax.tree_util.tree_structure(p) == jax.tree_util.tree_structure(p2)
-    a = m_ref.apply(p, x, temb)
-    b = m_fus.apply(p, x, temb)
-    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+def test_proj_residual_stats_interpret():
+    """Kernel matches the XLA twin: y = h@w + bias + residual, stats per
+    (n, c) of the stored output."""
+    from animate_anything_tpu.ops.proj_residual import (_pallas_proj,
+                                                        _reference)
 
-
-@pytest.mark.parametrize("hw,cin,cout", [(16, 64, 48), (24, 128, 128)])
-def test_spatial_conv_pallas_kernel_interpret(hw, cin, cout):
-    from animate_anything_tpu.ops import spatial_conv as sc
-
-    n = 2
-    x = jax.random.normal(jax.random.PRNGKey(0), (n, hw, hw, cin))
-    a = jax.random.normal(jax.random.PRNGKey(1), (n, cin)) * 0.1 + 1.0
-    bv = jax.random.normal(jax.random.PRNGKey(2), (n, cin)) * 0.1
-    w9 = jax.random.normal(jax.random.PRNGKey(3), (9, cin, cout)) * 0.05
-    bias = jax.random.normal(jax.random.PRNGKey(4), (n, 1, cout)) * 0.1
-    res = jax.random.normal(jax.random.PRNGKey(5), (n, hw, hw, cout))
-    ref = sc._reference_stage(x, a, bv, w9, bias, res, silu=True)
+    n, s, k, c = 3, 32, 64, 128
+    h = jax.random.normal(jax.random.PRNGKey(0), (n, s, k), jnp.float32)
+    w = jax.random.normal(jax.random.PRNGKey(1), (k, c)) * 0.05
+    bias = jax.random.normal(jax.random.PRNGKey(2), (c,)) * 0.1
+    r = jax.random.normal(jax.random.PRNGKey(3), (n, s, c))
+    ref_y, ref_s1, ref_s2 = _reference(h, w, bias, r)
     with pltpu.force_tpu_interpret_mode():
-        got = sc._pallas_stage(x, a, bv, w9, bias, res, ch=8, co_ch=cout, silu=True)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+        y, s1, s2 = _pallas_proj(h, w, bias, r, ch=8)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref_y), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(ref_s1), rtol=2e-5,
+                               atol=1e-3)
+    np.testing.assert_allclose(np.asarray(s2), np.asarray(ref_s2), rtol=2e-5,
+                               atol=1e-3)
 
 
-@pytest.mark.slow
-def test_spatial_conv_cin_split_interpret():
-    """cin > _CIN_MAX splits into two accumulating kernel calls."""
-    from unittest import mock
+def test_proj_residual_grad_matches_composite():
+    """custom_vjp backward equals grads of the composite Dense+add."""
+    from animate_anything_tpu.ops.proj_residual import proj_residual_stats
 
-    from animate_anything_tpu.ops import spatial_conv as sc
+    n, s, k, c = 2, 16, 32, 64
+    h = jax.random.normal(jax.random.PRNGKey(0), (n, s, k))
+    w = jax.random.normal(jax.random.PRNGKey(1), (k, c)) * 0.05
+    bias = jax.random.normal(jax.random.PRNGKey(2), (c,)) * 0.1
+    r = jax.random.normal(jax.random.PRNGKey(3), (n, s, c))
 
-    n, hw, cin, cout = 2, 16, 96, 64
-    x = jax.random.normal(jax.random.PRNGKey(0), (n, hw, hw, cin))
-    s = jax.random.normal(jax.random.PRNGKey(1), (cin,)) * 0.1 + 1.0
-    b = jax.random.normal(jax.random.PRNGKey(2), (cin,)) * 0.1
-    w = jax.random.normal(jax.random.PRNGKey(3), (3, 3, cin, cout)) * 0.05
-    cb = jax.random.normal(jax.random.PRNGKey(4), (cout,)) * 0.1
-    ref = sc.gn_silu_spatial_conv(x, s, b, w, cb, groups=8, impl="xla")
-    fake_tpu = lambda: [type("D", (), {"platform": "tpu"})()]
-    with mock.patch.object(sc, "_CIN_MAX", 80), \
-         mock.patch.object(sc.jax, "devices", fake_tpu), \
-         pltpu.force_tpu_interpret_mode():
-        got = sc.gn_silu_spatial_conv(x, s, b, w, cb, groups=8, impl="pallas")
-    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+    def loss_fused(h, w, bias, r):
+        y, (s1, s2) = proj_residual_stats(h, w, bias, r)
+        # consume y AND the stats (the consumer GN uses them)
+        return (y.astype(jnp.float32) ** 2).sum() + 0.1 * s1.sum() + 0.01 * s2.sum()
+
+    def loss_comp(h, w, bias, r):
+        y = jnp.einsum("nsk,kc->nsc", h, w) + bias + r
+        yf = y.astype(jnp.float32)
+        return (yf ** 2).sum() + 0.1 * yf.sum() + 0.01 * (yf * yf).sum()
+
+    g_f = jax.grad(loss_fused, argnums=(0, 1, 2, 3))(h, w, bias, r)
+    g_c = jax.grad(loss_comp, argnums=(0, 1, 2, 3))(h, w, bias, r)
+    for a, b in zip(g_f, g_c):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
+                                   atol=1e-4)
 
 
-def test_spatial_conv_grad_finite():
-    from animate_anything_tpu.ops.spatial_conv import gn_silu_spatial_conv
+def test_spatial_transformer_fused_out_matches_composite():
+    """SpatialTransformer attn_impl='pallas' (fused proj_out+residual path on
+    the CPU reference twin) equals the composite XLA path, and the returned
+    sums equal the output's true sums."""
+    from animate_anything_tpu.models.attention import SpatialTransformer
 
-    n, hw, c = 1, 16, 32
-    x = jax.random.normal(jax.random.PRNGKey(0), (n, hw, hw, c))
-    w = jax.random.normal(jax.random.PRNGKey(1), (3, 3, c, c)) * 0.05
+    bf, hh, ww, c = 4, 8, 8, 64
+    x = jax.random.normal(jax.random.PRNGKey(0), (bf, hh, ww, c))
+    ctx = jax.random.normal(jax.random.PRNGKey(1), (bf, 7, 32))
+    m_x = SpatialTransformer(2, 32, context_dim=32, groups=8, attn_impl="xla")
+    m_p = SpatialTransformer(2, 32, context_dim=32, groups=8, attn_impl="pallas")
+    p = m_x.init(jax.random.PRNGKey(2), x, ctx)
+    p2 = m_p.init(jax.random.PRNGKey(2), x, ctx)
+    assert (jax.tree_util.tree_structure(p) == jax.tree_util.tree_structure(p2))
+    y_x = m_x.apply(p, x, ctx)
+    y_p, sums = m_p.apply(p, x, ctx, None, None, True)
+    np.testing.assert_allclose(np.asarray(y_p), np.asarray(y_x), atol=5e-5)
+    yf = np.asarray(y_p, np.float64).reshape(bf, hh * ww, c)
+    np.testing.assert_allclose(np.asarray(sums[0]), yf.sum(1), rtol=1e-4,
+                               atol=1e-3)
+    np.testing.assert_allclose(np.asarray(sums[1]), (yf * yf).sum(1),
+                               rtol=1e-4, atol=1e-3)
 
-    def loss(x, w):
-        y = gn_silu_spatial_conv(x, jnp.ones((c,)), jnp.zeros((c,)), w,
-                                 jnp.zeros((c,)), groups=8)
-        return (y ** 2).sum()
 
-    gx, gw = jax.grad(loss, argnums=(0, 1))(x, w)
-    assert np.isfinite(np.asarray(gx)).all() and float(jnp.abs(gx).sum()) > 0
-    assert np.isfinite(np.asarray(gw)).all() and float(jnp.abs(gw).sum()) > 0
+def test_temporal_transformer_fused_out_matches_composite():
+    from animate_anything_tpu.models.attention import TemporalTransformer
+
+    f, hh, ww, c = 5, 4, 6, 128
+    x = jax.random.normal(jax.random.PRNGKey(0), (2 * f, hh, ww, c))
+    m_x = TemporalTransformer(2, 64, attn_impl="xla", dtype=jnp.float32)
+    m_p = TemporalTransformer(2, 64, attn_impl="pallas", dtype=jnp.float32)
+    p = m_x.init(jax.random.PRNGKey(1), x, f)
+    y_x = m_x.apply(p, x, f)
+    y_p, sums = m_p.apply(p, x, f, None, None, True)
+    np.testing.assert_allclose(np.asarray(y_p), np.asarray(y_x), atol=5e-5)
+    assert sums is not None and sums[0].shape == (2 * f, c)
+    # entry_sums consumption: feeding the true input sums reproduces the
+    # default output exactly
+    xf = np.asarray(x, np.float64).reshape(2, f * hh * ww, c)
+    es = (jnp.asarray(xf.sum(1), jnp.float32),
+          jnp.asarray((xf * xf).sum(1), jnp.float32))
+    y_es = m_x.apply(p, x, f, None, es)
+    np.testing.assert_allclose(np.asarray(y_es), np.asarray(y_x), atol=5e-5)
