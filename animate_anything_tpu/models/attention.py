@@ -91,6 +91,11 @@ class BasicTransformerBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, context: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        # (r5 negative result: routing norm1+attn1 through the fused
+        # LN+QKV+attention kernel (ops/attic/ln_qkv_attention.py) measured
+        # 10.08 s vs 9.63 s headline — the VMEM-resident sample + K/V scratch
+        # force a 128-row q tile at s=4096 and a serialized grid, costing
+        # more than the saved normed/q/k/v HBM round-trips.)
         h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm1")(x).astype(self.dtype)
         x = x + CrossAttention(
             self.heads, self.head_dim, attn_impl=self.attn_impl, dtype=self.dtype, name="attn1"

@@ -156,10 +156,13 @@ class ResnetBlock2D(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, temb: Optional[jnp.ndarray] = None,
-                 norm1_sums=None) -> jnp.ndarray:
+                 norm1_sums=None, want_stats: bool = False):
         # norm1_sums: per-(b·f, c) fp32 (Σx, Σx²) ridden out of the producing
         # kernel (transformer fused output projection / temp-conv epilogue) —
         # norm1 then skips its standalone stats reduce over x.
+        # want_stats=True → returns (y, out_sums): the final residual add runs
+        # as the fused add+stats kernel (ops/add_stats.py) and the sums feed
+        # the consumer's GroupNorm (temp-conv stage 1 / spatial entry norm).
         from animate_anything_tpu.ops.attic.spatial_conv import (SPATIAL_CONV_OPTIN,
                                                            gn_silu_spatial_conv)
 
@@ -184,10 +187,16 @@ class ResnetBlock2D(nn.Module):
             if in_channels != self.out_channels:
                 shortcut = Conv1x1(self.out_channels, dtype=self.dtype,
                                    name="conv_shortcut")(x)
-            return gn_silu_spatial_conv(
+            y = gn_silu_spatial_conv(
                 h, s2, b2, w2, cb2, groups=self.groups, eps=self.eps,
                 residual=shortcut, impl="pallas")
+            return (y, None) if want_stats else y
 
+        # (r5 A/B: routing the sums-less norms through the streaming
+        # channel-sums kernel regressed 9.63 -> 9.76 s — the standalone pallas
+        # stats read costs more than the XLA reduce that rides the producing
+        # conv's kOutput epilogue, re-confirming the r4 negative result. XLA
+        # reduces stay at the sites with no producer-epilogue sums.)
         h = FusedGroupNorm(self.groups, self.eps, silu=True, dtype=self.dtype,
                            name="norm1")(x, sums=norm1_sums)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv1")(h)
@@ -196,12 +205,19 @@ class ResnetBlock2D(nn.Module):
             t = nn.Dense(self.out_channels, dtype=self.dtype, name="time_emb_proj")(nn.silu(temb))
             h = h + t[:, None, None, :]
 
-        h = FusedGroupNorm(self.groups, self.eps, silu=True, dtype=self.dtype, name="norm2")(h)
+        h = FusedGroupNorm(self.groups, self.eps, silu=True, dtype=self.dtype,
+                           name="norm2")(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv2")(h)
 
         if in_channels != self.out_channels:
             x = Conv1x1(self.out_channels, dtype=self.dtype, name="conv_shortcut")(x)
-        return x + h
+        # (r5 A/B: running this add through the fused add+stats kernel
+        # (ops/add_stats.py) to feed temp-conv stage 1 regressed the headline
+        # 9.63 -> 9.76 s — XLA fuses the residual add into conv2's kOutput
+        # epilogue, so the pallas form added a full write+read per resnet.
+        # The XLA add stays; stage 1 keeps its XLA stats reduce.)
+        y = x + h
+        return (y, None) if want_stats else y
 
 
 class _GNParams(nn.Module):
@@ -251,12 +267,14 @@ class TemporalConvLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, num_frames: int, deterministic: bool = True,
-                 want_stats: bool = False):
+                 want_stats: bool = False, in_sums=None):
         # want_stats=True → returns (y, entry_sums) where entry_sums is a
         # per-(b·f, c) fp32 (Σy, Σy²) pair from the final fused stage's
         # epilogue (or None off the pallas path) — consumed by the following
         # spatial transformer's entry GroupNorm so no XLA reduce ever reads
         # this layer's pallas output (see ops/temporal_conv.py).
+        # in_sums: per-(b·f, c) sums of x (the resnet's add+stats epilogue) —
+        # stage 1's GroupNorm then skips its standalone reduce too.
         from animate_anything_tpu.ops.temporal_conv import gn_silu_tap_conv
 
         # x: (b*f, h, w, c)
@@ -266,7 +284,10 @@ class TemporalConvLayer(nn.Module):
         identity = h
 
         if self.impl == "pallas" and (deterministic or self.dropout == 0):
-            sums = None
+            # stage 1 stats are per-(b, c): fold the frame axis of in_sums
+            sums = None if in_sums is None else (
+                in_sums[0].reshape(b, num_frames, c).sum(1),
+                in_sums[1].reshape(b, num_frames, c).sum(1))
             stats = None
             for idx, (cin, feat, zero) in enumerate(
                 ((c, self.out_channels, False), (self.out_channels, c, False),
@@ -288,8 +309,17 @@ class TemporalConvLayer(nn.Module):
                 return out, entry
             return out
 
+        # stage 1 of the composite path (c=1280 levels on TPU) also consumes
+        # the producer's sums — its standalone reduce over the resnet output
+        # is a {3,0,2,1}-preferring read like any other
+        stage1_sums = None if in_sums is None else (
+            in_sums[0].reshape(b, num_frames, c).sum(1),
+            in_sums[1].reshape(b, num_frames, c).sum(1))
+
         def stage(h, idx, features, zero_init=False):
-            h = FusedGroupNorm(32, 1e-5, silu=True, dtype=self.dtype, name=f"norm{idx}")(h)
+            h = FusedGroupNorm(32, 1e-5, silu=True, dtype=self.dtype,
+                               name=f"norm{idx}")(
+                h, sums=stage1_sums if idx == 1 else None)
             if idx > 1 and self.dropout > 0 and not deterministic:
                 h = nn.Dropout(self.dropout, deterministic=False)(h)
             h = TemporalTapConv(

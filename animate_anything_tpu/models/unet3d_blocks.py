@@ -43,7 +43,7 @@ def _sub_layers(remat: bool):
     if not remat:
         return ResnetBlock2D, TemporalConvLayer, SpatialTransformer, TemporalTransformer
     return (
-        nn.remat(ResnetBlock2D),
+        nn.remat(ResnetBlock2D, static_argnums=(4,)),
         nn.remat(TemporalConvLayer, static_argnums=(2, 3, 4)),
         nn.remat(SpatialTransformer, static_argnums=(5,)),
         nn.remat(TemporalTransformer, static_argnums=(2, 5)),
@@ -99,16 +99,16 @@ class CrossAttnDownBlock3D(nn.Module):
         out_sums = []
         cur = in_sums
         for i in range(self.num_layers):
-            x = Resnet(
+            x, rs = Resnet(
                 self.out_channels, eps=self.norm_eps, groups=self.groups,
                 impl=self.attn_impl, dtype=self.dtype, name=f"resnets_{i}",
-            )(x, temb, cur)
-            entry = None
+            )(x, temb, cur, True)
+            entry = rs
             if self.num_frames > 1:
                 x, entry = TempConv(
                     self.out_channels, impl=self.attn_impl, dtype=self.dtype,
                     name=f"temp_convs_{i}",
-                )(x, self.num_frames, deterministic, True)
+                )(x, self.num_frames, deterministic, True, rs)
             x, sp = SpatialT(
                 heads, self.head_dim, self.cross_attention_dim,
                 groups=self.groups,  # ref passes norm_num_groups=resnet_groups
@@ -152,17 +152,16 @@ class DownBlock3D(nn.Module):
         out_sums = []
         cur = in_sums
         for i in range(self.num_layers):
-            x = Resnet(
+            x, rs = Resnet(
                 self.out_channels, eps=self.norm_eps, groups=self.groups,
                 impl=self.attn_impl, dtype=self.dtype, name=f"resnets_{i}",
-            )(x, temb, cur)
-            cur = None
+            )(x, temb, cur, True)
+            cur = rs
             if self.num_frames > 1:
-                x, st = TempConv(
+                x, cur = TempConv(
                     self.out_channels, impl=self.attn_impl, dtype=self.dtype,
                     name=f"temp_convs_{i}",
-                )(x, self.num_frames, deterministic, True)
-                cur = st
+                )(x, self.num_frames, deterministic, True, rs)
             outputs.append(x)
             out_sums.append(cur)
         if self.add_downsample:
@@ -193,16 +192,16 @@ class UNetMidBlock3DCrossAttn(nn.Module):
         pt = None if pab_reuse is None else pab_reuse.get("temporal")
         heads = self.in_channels // self.head_dim
         Resnet, TempConv, SpatialT, TemporalT = _sub_layers(self.remat)
-        x = Resnet(
+        x, rs = Resnet(
             self.in_channels, eps=self.norm_eps, groups=self.groups,
             impl=self.attn_impl, dtype=self.dtype, name="resnets_0",
-        )(x, temb, in_sums)
-        entry = None
+        )(x, temb, in_sums, True)
+        entry = rs
         if self.num_frames > 1:
             x, entry = TempConv(
                 self.in_channels, impl=self.attn_impl, dtype=self.dtype,
                 name="temp_convs_0",
-            )(x, self.num_frames, deterministic, True)
+            )(x, self.num_frames, deterministic, True, rs)
         cur = entry
         for i in range(self.num_layers):
             x, sp = SpatialT(
@@ -218,16 +217,16 @@ class UNetMidBlock3DCrossAttn(nn.Module):
                     dtype=self.dtype, name=f"temp_attentions_{i}",
                 )(x, self.num_frames, pt, _fold_frames(sp, self.num_frames),
                   True)
-            x = Resnet(
+            x, rs = Resnet(
                 self.in_channels, eps=self.norm_eps, groups=self.groups,
                 impl=self.attn_impl, dtype=self.dtype, name=f"resnets_{i + 1}",
-            )(x, temb, cur)
-            entry = None
+            )(x, temb, cur, True)
+            entry = rs
             if self.num_frames > 1:
                 x, entry = TempConv(
                     self.in_channels, impl=self.attn_impl, dtype=self.dtype,
                     name=f"temp_convs_{i + 1}",
-                )(x, self.num_frames, deterministic, True)
+                )(x, self.num_frames, deterministic, True, rs)
             cur = entry
         return x, cur
 
@@ -263,16 +262,16 @@ class CrossAttnUpBlock3D(nn.Module):
         for i in range(self.num_layers):
             sk_sums = skip_sums.pop() if skip_sums else None
             x = jnp.concatenate([x, skips.pop()], axis=-1)
-            x = Resnet(
+            x, rs = Resnet(
                 self.out_channels, eps=self.norm_eps, groups=self.groups,
                 impl=self.attn_impl, dtype=self.dtype, name=f"resnets_{i}",
-            )(x, temb, _concat_sums(cur, sk_sums))
-            entry = None
+            )(x, temb, _concat_sums(cur, sk_sums), True)
+            entry = rs
             if self.num_frames > 1:
                 x, entry = TempConv(
                     self.out_channels, impl=self.attn_impl, dtype=self.dtype,
                     name=f"temp_convs_{i}",
-                )(x, self.num_frames, deterministic, True)
+                )(x, self.num_frames, deterministic, True, rs)
             x, sp = SpatialT(
                 heads, self.head_dim, self.cross_attention_dim,
                 groups=self.groups,  # ref passes norm_num_groups=resnet_groups
@@ -313,16 +312,16 @@ class UpBlock3D(nn.Module):
         for i in range(self.num_layers):
             sk_sums = skip_sums.pop() if skip_sums else None
             x = jnp.concatenate([x, skips.pop()], axis=-1)
-            x = Resnet(
+            x, rs = Resnet(
                 self.out_channels, eps=self.norm_eps, groups=self.groups,
                 impl=self.attn_impl, dtype=self.dtype, name=f"resnets_{i}",
-            )(x, temb, _concat_sums(cur, sk_sums))
-            cur = None
+            )(x, temb, _concat_sums(cur, sk_sums), True)
+            cur = rs
             if self.num_frames > 1:
                 x, cur = TempConv(
                     self.out_channels, impl=self.attn_impl, dtype=self.dtype,
                     name=f"temp_convs_{i}",
-                )(x, self.num_frames, deterministic, True)
+                )(x, self.num_frames, deterministic, True, rs)
         if self.add_upsample:
             x = Upsample2D(self.out_channels, dtype=self.dtype, name="upsamplers_0")(x, self.output_size)
             cur = None

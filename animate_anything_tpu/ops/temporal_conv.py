@@ -242,8 +242,10 @@ def gn_silu_tap_conv(
     epilogue), else None — chaining temp-conv stages and feeding the next
     module's GroupNorm without any XLA reduce over a pallas output."""
     bsz, f, s, cin = x.shape
-    # ---- stats + affine fold (XLA, fp32; channel-first lane-preserving
-    # reduction — see ops/group_norm.py group_affine)
+    # ---- stats + affine fold (fp32; precomputed sums when the producer's
+    # epilogue carried them, else the streaming channel-sums kernel on the
+    # perf path — an XLA reduce here would prefer the {3,0,2,1} layout and
+    # relayout-copy the producing tensor; see ops/group_norm.py group_affine)
     from animate_anything_tpu.ops.group_norm import group_affine
 
     a, b = group_affine(x.reshape(bsz, f * s, cin), gn_scale, gn_bias,

@@ -122,7 +122,7 @@ class LatentToVideoPipeline:
 
     # -- the jitted denoise loop -------------------------------------------
     @functools.cached_property
-    def _denoise_jit(self):
+    def _denoise_fn(self):
         unet, schedule, sampler, mesh = self.unet, self.schedule, self.sampler, self.mesh
 
         def shard(x):
@@ -137,7 +137,6 @@ class LatentToVideoPipeline:
 
         pab = self.pab
 
-        @functools.partial(jax.jit, static_argnames=("timesteps",))
         def denoise(unet_params, latents, condition_latent, embeds, mask, motion,
                     guidance_scale, timesteps):
             latents = shard(latents)
@@ -196,6 +195,28 @@ class LatentToVideoPipeline:
 
         return denoise
 
+    @functools.cached_property
+    def _denoise_jit(self):
+        return functools.partial(jax.jit, static_argnames=("timesteps",))(
+            self._denoise_fn)
+
+    @functools.cached_property
+    def _denoise_decode_jit(self):
+        """Denoise + VAE decode as ONE jitted program: saves a dispatch
+        round-trip (~29 ms through the remote-TPU tunnel) and lets XLA
+        schedule the decoder's prologue against the tail of the scan."""
+        fn = self._denoise_fn
+        vae, vae_params = self.vae, self.vae_params
+
+        @functools.partial(jax.jit, static_argnames=("timesteps",))
+        def denoise_decode(unet_params, latents, condition_latent, embeds,
+                           mask, motion, guidance_scale, timesteps):
+            lat = fn(unet_params, latents, condition_latent, embeds, mask,
+                     motion, guidance_scale, timesteps)
+            return decode_video(vae, vae_params, lat), lat
+
+        return denoise_decode
+
     def _denoise(self, latents, condition_latent, embeds, mask, motion,
                  guidance_scale, timesteps):
         return self._denoise_jit(
@@ -228,18 +249,14 @@ class LatentToVideoPipeline:
         embeds = jnp.concatenate([negative_prompt_embeds, prompt_embeds])
         motion_arr = None if motion is None else jnp.asarray(motion, jnp.float32)
 
-        latents = self._denoise(
-            latents,
-            condition_latent,
-            embeds,
-            mask,
-            motion_arr,
-            jnp.asarray(guidance_scale, jnp.float32),
-            tuple(int(t) for t in np.asarray(timesteps)),
-        )
+        ts = tuple(int(t) for t in np.asarray(timesteps))
+        gs = jnp.asarray(guidance_scale, jnp.float32)
         if output_type == "latent":
-            return None, latents
-        video = decode_video(self.vae, self.vae_params, latents)
+            return None, self._denoise(latents, condition_latent, embeds,
+                                       mask, motion_arr, gs, ts)
+        video, latents = self._denoise_decode_jit(
+            self.unet_params, latents, condition_latent, embeds, mask,
+            motion_arr, gs, ts)
         return video, latents
 
     # -- convenience: image → video ----------------------------------------

@@ -80,24 +80,23 @@ def main():
     ts = tuple(int(t) for t in pipe.get_timesteps(steps))
 
     def run(x):
-        lat = pipe._denoise_jit(uparams, x, cond, embeds, mask, motion,
-                                jnp.asarray(9.0, jnp.float32), ts)
-        return lat
-
-    decode = jax.jit(lambda lat: decode_video(vae, vparams, lat))
+        # ONE jitted program: denoise scan + VAE decode (saves a dispatch
+        # round-trip through the remote-TPU tunnel; same program __call__ uses)
+        vid, lat = pipe._denoise_decode_jit(
+            uparams, x, cond, embeds, mask, motion,
+            jnp.asarray(9.0, jnp.float32), ts)
+        return vid, lat
 
     # compile (excluded from timing), then timed runs with forced fetch
     print("compiling denoise loop + decoder...", file=sys.stderr)
-    lat = run(latents)
-    vid = decode(lat)
+    vid, lat = run(latents)
     float(vid.astype(jnp.float32).sum())
 
     times = []
     for i in range(repeats):
         x = latents + 0.01 * i
         t0 = time.time()
-        lat = run(x)
-        vid = decode(lat)
+        vid, lat = run(x)
         float(vid.astype(jnp.float32).sum())  # forces completion through the tunnel
         times.append(time.time() - t0)
     sec_per_video = float(np.median(times))
@@ -112,7 +111,7 @@ def main():
         exact_pipe = LatentToVideoPipeline(unet, uparams, vae, vparams,
                                            schedule=make_schedule())
         x = jax.random.normal(jax.random.PRNGKey(0), latents.shape, jnp.bfloat16)
-        lat_pab = np.asarray(run(x), np.float32)
+        lat_pab = np.asarray(run(x)[1], np.float32)
         lat_exact = np.asarray(
             exact_pipe._denoise_jit(uparams, x, cond, embeds, mask, motion,
                                     jnp.asarray(9.0, jnp.float32), ts), np.float32)

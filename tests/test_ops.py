@@ -714,3 +714,27 @@ def test_temporal_transformer_fused_out_matches_composite():
           jnp.asarray((xf * xf).sum(1), jnp.float32))
     y_es = m_x.apply(p, x, f, None, es)
     np.testing.assert_allclose(np.asarray(y_es), np.asarray(y_x), atol=5e-5)
+
+
+
+def test_resnet_want_stats_matches_plain():
+    """ResnetBlock2D want_stats path (CPU → XLA add, stats None) returns the
+    same output as the plain call; with explicit sums fed to norm1 the output
+    is unchanged too."""
+    from animate_anything_tpu.models.layers import ResnetBlock2D
+
+    bf, hh, ww, c = 4, 8, 8, 64
+    x = jax.random.normal(jax.random.PRNGKey(0), (bf, hh, ww, c))
+    temb = jax.random.normal(jax.random.PRNGKey(1), (bf, 32))
+    m = ResnetBlock2D(out_channels=c, groups=8)
+    p = m.init(jax.random.PRNGKey(2), x, temb)
+    y0 = m.apply(p, x, temb)
+    y1, sums = m.apply(p, x, temb, None, True)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y0), atol=1e-6)
+    assert sums is None  # CPU path: no pallas add → no sums (by design)
+    xf = np.asarray(x, np.float64).reshape(bf, hh * ww, c)
+    es = (jnp.asarray(xf.sum(1), jnp.float32),
+          jnp.asarray((xf * xf).sum(1), jnp.float32))
+    y2 = m.apply(p, x, temb, es)
+    np.testing.assert_allclose(np.asarray(y2), np.asarray(y0), atol=2e-5)
+
