@@ -325,6 +325,7 @@ def test_fused_temporal_block_lean_backward_matches_exact():
                     np.asarray(b) / scale, np.asarray(a) / scale, atol=1e-5)
 
 
+@pytest.mark.slow  # full-forward/compile-heavy; fast tier keeps the smaller variants
 def test_fused_temporal_block_equals_unfused_module():
     """TemporalTransformer: pallas (fused, CPU → reference math on packed
     layout) and xla (einsum) paths share one param tree and agree."""
@@ -381,6 +382,7 @@ def test_fused_temporal_block_bfsc_kernel_matches_reference():
     np.testing.assert_allclose(np.asarray(ref), np.asarray(packed), atol=2e-4)
 
 
+@pytest.mark.slow  # full-forward/compile-heavy; fast tier keeps the smaller variants
 def test_fused_temporal_block_bfsc_module_wiring():
     """TemporalTransformer picks the bfsc path when the geometry allows and
     matches the xla module; gradients flow and are finite."""
@@ -538,6 +540,7 @@ def test_ln_geglu_pallas_kernel_interpret():
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=3e-5)
 
 
+@pytest.mark.slow  # full-forward/compile-heavy; fast tier keeps the smaller variants
 def test_ln_geglu_wide_kernel_interpret():
     """N-streamed wide-FF kernel (c>640 sites): per-inner-block val·gelu(gate)
     folded straight into the down-projection accumulator — must match the

@@ -113,6 +113,7 @@ def test_transformer_spatio_temporal_parity():
 
 
 @pytest.mark.parametrize("in_channels", [8, 9])
+@pytest.mark.slow  # full-forward/compile-heavy; fast tier keeps the smaller variants
 def test_full_svd_unet_parity(in_channels):
     """Full-forward parity of the tiny SVD UNet (both 8-ch and the
     mask-extended 9-ch input of /root/reference/train_svd.py:93-103)."""

@@ -116,6 +116,7 @@ def test_offset_encoder_parity():
     _close(t_out, jnp.moveaxis(f_out, -1, 1))
 
 
+@pytest.mark.slow  # full-forward/compile-heavy; fast tier keeps the smaller variants
 def test_unet384_parity():
     """Reference-code-driven: the reference's own UNet384 (default config —
     32/64/128/256, GroupNorm(4), 32-head dim-8 attention at the deepest
