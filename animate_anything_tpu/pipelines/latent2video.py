@@ -202,9 +202,13 @@ class LatentToVideoPipeline:
 
     @functools.cached_property
     def _denoise_decode_jit(self):
-        """Denoise + VAE decode as ONE jitted program: saves a dispatch
-        round-trip (~29 ms through the remote-TPU tunnel) and lets XLA
-        schedule the decoder's prologue against the tail of the scan."""
+        """Denoise + VAE decode as ONE jitted program. Measured on v5e this
+        is ~40 ms/video SLOWER than dispatching the two programs separately
+        (9.67 vs 9.63 s medians — the monolithic program schedules the
+        decode marginally worse and async dispatch already hides the
+        boundary), so __call__ and bench.py use the split path; this fused
+        program is kept for single-dispatch callers (e.g. serving batch
+        contexts where queue latency dominates)."""
         fn = self._denoise_fn
         vae, vae_params = self.vae, self.vae_params
 
@@ -251,12 +255,11 @@ class LatentToVideoPipeline:
 
         ts = tuple(int(t) for t in np.asarray(timesteps))
         gs = jnp.asarray(guidance_scale, jnp.float32)
+        latents = self._denoise(latents, condition_latent, embeds, mask,
+                                motion_arr, gs, ts)
         if output_type == "latent":
-            return None, self._denoise(latents, condition_latent, embeds,
-                                       mask, motion_arr, gs, ts)
-        video, latents = self._denoise_decode_jit(
-            self.unet_params, latents, condition_latent, embeds, mask,
-            motion_arr, gs, ts)
+            return None, latents
+        video = decode_video(self.vae, self.vae_params, latents)
         return video, latents
 
     # -- convenience: image → video ----------------------------------------
