@@ -30,6 +30,7 @@ or materialized, which is what lets full-model 512px training fit in 16 GB.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -736,6 +737,54 @@ def _bwd_xla(res, g):
 
 
 
+def _blockdiag_small_k(q, k, v):
+    """Cross-attention (tiny Sk) without head-split relayouts: heads stay
+    folded in the channel dim and the per-head QKᵀ / P·V become ONE batched
+    matmul each against a BLOCK-DIAGONAL (h·d, h·skp) K / (h·skp, h·d) V
+    built by an einsum with eye(h) (the off-blocks are zeros, so cross-head
+    terms vanish). h× redundant MACs, but at sk=77 the useful math is tiny
+    (~14 GF/site) and the r4/r5 profiles show the XLA head-split route is
+    dominated by {b,h,d,s} relayout copies, not math — this form keeps the
+    natural (b, sq, h·d) layout end-to-end. Gated to h·d ≤ 640: at c=1280
+    the block-diagonal operand is ~220 MB (h=20), past the bandwidth win."""
+    b, sq, h, d = q.shape
+    sk = k.shape[1]
+    skp = _round_up(sk, _LANE)
+    c = h * d
+    scale = 1.0 / d**0.5
+    qf = q.reshape(b, sq, c)
+    eye = jnp.eye(h, dtype=k.dtype)
+    kp = jnp.pad(k, ((0, 0), (0, skp - sk), (0, 0), (0, 0)))
+    vp = jnp.pad(v, ((0, 0), (0, skp - sk), (0, 0), (0, 0)))
+    kb = jnp.einsum("bshd,hg->bhdgs", kp, eye).reshape(b, c, h * skp)
+    vb = jnp.einsum("bshd,hg->bgshd", vp, eye).reshape(b, h * skp, c)
+    scores = jnp.einsum("bqc,bcm->bqm", qf, kb,
+                        preferred_element_type=jnp.float32) * scale
+    scores = scores.reshape(b, sq, h, skp)
+    col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 3)
+    scores = jnp.where(col < sk, scores, -jnp.inf)
+    p = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bqm,bmc->bqc", p.reshape(b, sq, h * skp).astype(v.dtype),
+                     vb, preferred_element_type=jnp.float32)
+    return out.astype(q.dtype).reshape(b, sq, h, d)
+
+
+# 'blockdiag' full-bench A/B (r5, 512px headline): 10.56 s vs 9.61 s for the
+# XLA route — a large NEGATIVE. The folded-head form does kill the head-split
+# relayouts, but its batched (b, sq, h·d)×(b, h·d, h·skp) matmuls run far
+# below the MXU rate the per-head folded-batch XLA dot achieves, and the h×-
+# redundant scores/probs (h·skp lanes vs skp) multiply the softmax pass by
+# the same factor. Kept opt-in for reference; default stays XLA.
+_SMALLK_IMPL = os.environ.get("AA_SMALLK", "xla")
+
+
+def set_small_k_impl(impl: str) -> None:
+    global _SMALLK_IMPL
+    if impl not in ("xla", "blockdiag"):
+        raise ValueError(impl)
+    _SMALLK_IMPL = impl
+
+
 def flash_attention(
     q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, is_causal: bool = False
 ) -> jnp.ndarray:
@@ -745,12 +794,17 @@ def flash_attention(
         return jax.nn.dot_product_attention(q, k, v, is_causal=True)
     if q.shape[1] < MIN_PALLAS_SEQ or k.shape[1] < MIN_PALLAS_SEQ:
         # tiny q (temporal regime) or tiny K/V (77-token cross-attention):
-        # XLA's batched attention wins. Re-measured in r4 with the LANES
-        # kernel (which kills the head-split relayouts the r3 folded-kernel
-        # measurement paid): small-K lanes dispatch benched 9.90 s headline
-        # at block_q=512 (816 programs — grid overhead dominates the tiny
-        # per-program compute) and 9.85 s with 2048-row tiles, vs 9.81 s for
-        # this XLA route. Negative result; kernels stay numerics-tested for
-        # masked small-K (tests/test_ops.py) but are not dispatched.
+        # XLA's batched attention wins over the pallas kernels here. Re-
+        # measured in r4 with the LANES kernel: small-K lanes dispatch
+        # benched 9.90 s headline at block_q=512 and 9.85 s with 2048-row
+        # tiles, vs 9.81 s for the XLA route (grid overhead dominates the
+        # tiny per-program compute). The BLOCK-DIAGONAL folded-head form
+        # (above) instead kills the head-split relayouts while staying on
+        # XLA matmuls — dispatched for the large-q/tiny-K cross-attention
+        # regime where those relayouts are the dominant cost.
+        h, d = q.shape[2], q.shape[3]
+        if (_SMALLK_IMPL == "blockdiag" and k.shape[1] < _LANE
+                and q.shape[1] >= MIN_PALLAS_SEQ and h * d <= 640 and h > 1):
+            return _blockdiag_small_k(q, k, v)
         return _xla_reference(q, k, v)
     return _flash_attention_p(q, k, v)

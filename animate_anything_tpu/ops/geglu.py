@@ -33,8 +33,13 @@ def _rup(a: int, b: int) -> int:
 
 
 def _pick_rows(c: int, n: int | None = None) -> int:
-    # fp32-equivalent live set ≈ R·c·(x 1 + h 8 + act 2 + y 1)·4B ≈ 48·R·c
-    r = (4 * 2**20) // (48 * _rup(c, 128))
+    # fp32-equivalent live set ≈ R·c·(x 1 + h 8 + act 2 + y 1)·4B ≈ 48·R·c.
+    # The tanh-gelu kernel holds fewer fp32 temporaries than the erf form
+    # (no t/poly/exp chain), so it sustains ~2× taller row blocks before
+    # spilling — measured: tanh rows=512 4.03 ms vs erf rows=512 8.76 (spill)
+    # at the L0 site.
+    budget = (8 if _GELU_IMPL == "tanh" else 4) * 2**20
+    r = budget // (48 * _rup(c, 128))
     cap = max(8, min(512, (r // 8) * 8))
     if n is None:
         return cap
@@ -62,10 +67,15 @@ def _erf(x):
 # - 'erf_fp32': A&S erf on the fp32 matmul output (original; exact-gelu math
 #   but ~15-20 VPU ops/element incl. a reciprocal + exp — the kernel is
 #   VPU-bound at c=320)
-# - 'tanh': tanh-form gelu (the standard 'approximate' variant) — tanh is a
-#   native EUP op; |Δ| vs exact gelu ≤ 3e-3, on par with the bf16 rounding
-#   the composite model path already applies to the GEGLU hidden
-_GELU_IMPL = "erf_fp32"
+# - 'tanh': tanh-form gelu (the standard 'approximate' variant, and the
+#   DEFAULT of jax.nn.gelu/flax) — tanh is a native EUP op; |Δ| vs exact
+#   gelu ≤ 3e-3, on par with the bf16 rounding the model path already
+#   applies to the GEGLU hidden. r5 sweep at the L0 site (n=139264, c=320):
+#   erf rows=136 4.62 ms / tanh rows=136 4.36 / tanh rows=512 4.03 (the erf
+#   form's extra fp32 temporaries spill VMEM at rows=512: 8.76 ms). Default;
+#   AA_GELU=erf_fp32 restores the exact-erf kernel (the custom_vjp twins
+#   follow this flag, so forward/backward stay consistent either way).
+_GELU_IMPL = os.environ.get("AA_GELU", "tanh")
 
 
 def _kernel(x_ref, s_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, *,
@@ -226,7 +236,10 @@ def _pallas_ln_geglu_wide(x2, s, b, w1, b1, w2, b2, eps, rows, nb=256):
     return out[:n] if n_pad != n else out
 
 
-def _reference(x2, s, b, w1, b1, w2, b2, eps):
+def _reference(x2, s, b, w1, b1, w2, b2, eps, approximate=False):
+    # approximate=False: the composite/default model path keeps EXACT erf
+    # gelu (torch-oracle parity). Kernel tests pass approximate=True to
+    # compare the tanh-default kernel against tanh-consistent math.
     xf = x2.astype(jnp.float32)
     mu = jnp.mean(xf, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
@@ -234,7 +247,7 @@ def _reference(x2, s, b, w1, b1, w2, b2, eps):
     h = jnp.dot(ln, w1, preferred_element_type=jnp.float32) + b1
     inner = h.shape[-1] // 2
     val, gate = h[:, :inner], h[:, inner:]
-    act = (val * jax.nn.gelu(gate, approximate=False)).astype(x2.dtype)
+    act = (val * jax.nn.gelu(gate, approximate=approximate)).astype(x2.dtype)
     y = jnp.dot(act, w2, preferred_element_type=jnp.float32) + b2 + xf
     return y.astype(x2.dtype)
 
@@ -262,7 +275,8 @@ def _reference_lean(x2, s, b, w1, b1, w2, b2, eps):
     inner = h.shape[-1] // 2
     val, gate = h[:, :inner], h[:, inner:]
     act = (val.astype(jnp.float32)
-           * jax.nn.gelu(gate.astype(jnp.float32), approximate=False)).astype(x2.dtype)
+           * jax.nn.gelu(gate.astype(jnp.float32),
+                         approximate=_GELU_IMPL == "tanh")).astype(x2.dtype)
     y = jnp.dot(act, w2, preferred_element_type=jnp.float32) + b2 + xf
     return y.astype(x2.dtype)
 

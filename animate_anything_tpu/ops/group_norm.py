@@ -21,6 +21,7 @@ default — the kernel is opt-in via impl='pallas' / set_default_norm_impl).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -160,6 +161,40 @@ def stats_ok(x2) -> bool:
     return _stats_chunk(s, c, x2.dtype.itemsize) >= 8
 
 
+# Two-stage GN stats experiment (r5, measured NEUTRAL — kept opt-in as a
+# documented negative result). Hypothesis was: the (Σx, Σx²) reduce fused
+# into the producing conv's kOutput fusion forces the fusion's bf16 output
+# into a {3,0,2,1} (n,c)-minor layout, halving c=320/640 conv throughput;
+# reducing over H only in the fused stage should keep the (W, C)-minor
+# standard tiling. Measured: XLA gives the H-only partial reduce the same
+# transposed preference ({2,0,1} on the (n, W, C) stage-1 outputs, conv
+# output still {3,0,2,1}) and the full bench is unchanged (9.599 vs
+# 9.605 s). Cross-checked standalone (scripts/conv_stats_probe.py): un-
+# fusing stats entirely behind an optimization_barrier is also neutral-to-
+# worse at every UNet/VAE geometry — the L0/L1 conv rate (~89-98 TF/s) is a
+# property of the 64²/32² conv shapes, not of the stats epilogue (the same
+# emitter hits 183 TF/s on the 16²/c1280 convs, stats and all).
+_SPLIT_STATS = os.environ.get("AA_SPLIT_STATS", "0") != "0"
+
+
+def set_split_stats(on: bool) -> None:
+    global _SPLIT_STATS
+    _SPLIT_STATS = bool(on)
+
+
+def _split_stage_sums(x):
+    """Per-(n, c) fp32 (Σx, Σx²) of (n, ..., W, c) via an H-only fused stage
+    plus a barriered (n, W, c) collapse. See _SPLIT_STATS note above."""
+    n, c = x.shape[0], x.shape[-1]
+    w = x.shape[-2]
+    x4 = x.reshape(n, -1, w, c)
+    xf = x4.astype(jnp.float32)
+    p1 = jnp.sum(xf, axis=1)                  # (n, W, c) — fuses into producer
+    p2 = jnp.sum(xf * xf, axis=1)
+    p1, p2 = jax.lax.optimization_barrier((p1, p2))
+    return jnp.sum(p1, axis=1), jnp.sum(p2, axis=1)
+
+
 def group_affine(x2, scale, bias, groups, eps, stats=None, sums=None):
     """Per-(batch, channel) fp32 affine (a, b) such that a·x+b applies
     GroupNorm(+scale/bias) to x2 of shape (n, s, c).
@@ -250,6 +285,8 @@ def group_norm_silu(
     a·x+b apply pass."""
     impl = impl or _DEFAULT_IMPL
     shape = x.shape
+    if sums is None and stats != "pallas" and len(shape) >= 4 and _SPLIT_STATS:
+        sums = _split_stage_sums(x)
     x2 = x.reshape(shape[0], -1, shape[-1])
     c = shape[-1]
     ch = _pick_chunk(x2.shape[1], c) if impl == "pallas" else 0

@@ -70,7 +70,12 @@ def measured_flops(workload: str, *, frames: int, res: int, steps: int = 25,
     import sys
 
     try:
-        env = dict(os.environ, JAX_PLATFORMS="cpu")
+        # Pin the FLOP count to the math-minimal implementation: the block-
+        # diagonal small-K attention (ops/flash_attention.py) trades h×
+        # redundant MACs for relayout-free layouts — a wall-clock win that
+        # must NOT inflate the analytic A100 baseline, which stands for the
+        # model's intrinsic work.
+        env = dict(os.environ, JAX_PLATFORMS="cpu", AA_SMALLK="xla")
         out = subprocess.run(
             [sys.executable, "-m", "animate_anything_tpu.utils.flops",
              "--workload", workload, "--batch", str(batch),

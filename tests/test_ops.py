@@ -326,7 +326,7 @@ def test_fused_temporal_block_lean_backward_matches_exact():
 
 
 @pytest.mark.slow  # full-forward/compile-heavy; fast tier keeps the smaller variants
-def test_fused_temporal_block_equals_unfused_module():
+def test_fused_temporal_block_equals_unfused_module(exact_gelu):
     """TemporalTransformer: pallas (fused, CPU → reference math on packed
     layout) and xla (einsum) paths share one param tree and agree."""
     from animate_anything_tpu.models.attention import TemporalTransformer
@@ -534,7 +534,12 @@ def test_ln_geglu_pallas_kernel_interpret():
     b1 = jax.random.normal(jax.random.PRNGKey(2), (1, 8 * c)) * 0.1
     w2 = jax.random.normal(jax.random.PRNGKey(3), (4 * c, c)) * 0.05
     b2 = jax.random.normal(jax.random.PRNGKey(4), (1, c)) * 0.1
-    ref = _reference(x, s, b, w1, b1, w2, b2, 1e-5)
+    # the kernel's gelu follows _GELU_IMPL (tanh default) — compare against
+    # the matching reference form
+    from animate_anything_tpu.ops import geglu as gg
+
+    ref = _reference(x, s, b, w1, b1, w2, b2, 1e-5,
+                     approximate=gg._GELU_IMPL == "tanh")
     with pltpu.force_tpu_interpret_mode():
         got = _pallas_ln_geglu(x, s, b, w1, b1, w2, b2, 1e-5, rows=16)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=3e-5)
@@ -674,7 +679,7 @@ def test_proj_residual_grad_matches_composite():
                                    atol=1e-4)
 
 
-def test_spatial_transformer_fused_out_matches_composite():
+def test_spatial_transformer_fused_out_matches_composite(exact_gelu):
     """SpatialTransformer attn_impl='pallas' (fused proj_out+residual path on
     the CPU reference twin) equals the composite XLA path, and the returned
     sums equal the output's true sums."""
@@ -698,7 +703,7 @@ def test_spatial_transformer_fused_out_matches_composite():
                                rtol=1e-4, atol=1e-3)
 
 
-def test_temporal_transformer_fused_out_matches_composite():
+def test_temporal_transformer_fused_out_matches_composite(exact_gelu):
     from animate_anything_tpu.models.attention import TemporalTransformer
 
     f, hh, ww, c = 5, 4, 6, 128

@@ -129,7 +129,7 @@ def test_svd_train_step(svd_setup):
     assert int(new_state.step) == 1
 
 
-def test_svd_temporal_block_impl_parity():
+def test_svd_temporal_block_impl_parity(exact_gelu):
     """xla (einsum) and pallas (fused/packed reference on CPU) paths of the
     transpose-free temporal block share a param tree and agree."""
     import jax
