@@ -1,4 +1,5 @@
-from animate_anything_tpu.core.compile_cache import enable_compilation_cache
+from animate_anything_tpu.core.compile_cache import (enable_compilation_cache,
+                                                      xla_compiler_options)
 from animate_anything_tpu.core.config import Config, load_config, merge_dotlist
 from animate_anything_tpu.core.mesh import (
     AXIS_DATA,
@@ -12,6 +13,7 @@ from animate_anything_tpu.core.dtypes import Policy, cast_floating, half_policy,
 
 __all__ = [
     "enable_compilation_cache",
+    "xla_compiler_options",
     "Config",
     "load_config",
     "merge_dotlist",

@@ -38,3 +38,17 @@ def enable_compilation_cache(cache_dir: str | None = None) -> str | None:
     except Exception:
         return None
     return cache_dir
+
+
+def xla_compiler_options() -> dict | None:
+    """Per-jit XLA compiler options from AA_XLA_OPTS="k=v,k2=v2".
+
+    The axon client rejects unknown entries in XLA_FLAGS at process start,
+    but jax.jit(compiler_options=...) forwards options to the remote
+    compiler (validated there — bogus keys raise at compile time). Used by
+    the hot-path jits (pipeline denoise/decode, bench) for A/B-ing compiler
+    knobs like xla_tpu_scoped_vmem_limit_kib without code changes."""
+    s = os.environ.get("AA_XLA_OPTS", "")
+    if not s:
+        return None
+    return dict(kv.split("=", 1) for kv in s.split(",") if "=" in kv)

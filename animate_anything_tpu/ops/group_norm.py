@@ -260,7 +260,12 @@ def _xla_group_norm(x2, scale, bias, groups, eps, silu, stats=None, sums=None):
     a, b = group_affine(x2, scale, bias, groups, eps, stats=stats, sums=sums)
     y = x2 * a[:, None, :].astype(x2.dtype) + b[:, None, :].astype(x2.dtype)
     if silu:
-        y = y * jax.nn.sigmoid(y)
+        # SiLU via the EXACT identity sigmoid(x) = 0.5·(1 + tanh(x/2)):
+        # XLA lowers logistic with an exp + divide (the GN-apply fusions
+        # profile as divide_multiply_fusion at ~3.7× their bandwidth floor
+        # in the VAE decoder); tanh is a single EUP op. Same math, float
+        # rounding differences ≤ 1 ulp.
+        y = 0.5 * y * (1.0 + jnp.tanh(0.5 * y))
     return y
 
 

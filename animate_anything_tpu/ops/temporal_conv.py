@@ -70,7 +70,8 @@ def _kernel(x_ref, a_ref, b_ref, w_ref, bias_ref, res_ref, o_ref,
             s1_ref=None, s2_ref=None, *, f: int):
     x = x_ref[0].astype(jnp.float32)              # (f, ch, cin)
     ln = x * a_ref[0][None] + b_ref[0][None]      # a/b refs: (1, 1, cin)
-    ln = (ln * jax.nn.sigmoid(ln)).astype(x_ref.dtype)
+    # exact tanh-form silu (see ops/group_norm.py note)
+    ln = (0.5 * ln * (1.0 + jnp.tanh(0.5 * ln))).astype(x_ref.dtype)
     ch, cin = ln.shape[1], ln.shape[2]
     cout = o_ref.shape[-1]
     l2 = ln.reshape(f * ch, cin)
@@ -178,7 +179,7 @@ def _pallas_stage(x, a, b, w, bias, residual, ch: int, emit_stats: bool = False)
 def _reference_stage(x, a, b, w, bias, residual):
     """Exact XLA twin on the same folded inputs (backward + tests)."""
     ln = x.astype(jnp.float32) * a[:, None, None, :] + b[:, None, None, :]
-    ln = (ln * jax.nn.sigmoid(ln)).astype(x.dtype)
+    ln = (0.5 * ln * (1.0 + jnp.tanh(0.5 * ln))).astype(x.dtype)
     prev = jnp.pad(ln[:, :-1], ((0, 0), (1, 0), (0, 0), (0, 0)))
     nxt = jnp.pad(ln[:, 1:], ((0, 0), (0, 1), (0, 0), (0, 0)))
     ein = functools.partial(jnp.einsum, "bfsc,cd->bfsd",

@@ -197,7 +197,10 @@ class LatentToVideoPipeline:
 
     @functools.cached_property
     def _denoise_jit(self):
-        return functools.partial(jax.jit, static_argnames=("timesteps",))(
+        from animate_anything_tpu.core import xla_compiler_options
+
+        return functools.partial(jax.jit, static_argnames=("timesteps",),
+                                 compiler_options=xla_compiler_options())(
             self._denoise_fn)
 
     @functools.cached_property

@@ -79,7 +79,10 @@ def main():
                                  schedule=make_schedule(), pab=pab)
     ts = tuple(int(t) for t in pipe.get_timesteps(steps))
 
-    decode = jax.jit(lambda lat: decode_video(vae, vparams, lat))
+    from animate_anything_tpu.core import xla_compiler_options
+
+    decode = jax.jit(lambda lat: decode_video(vae, vparams, lat),
+                     compiler_options=xla_compiler_options())
 
     def run(x):
         # split programs (what __call__ runs): measured ~40 ms/video faster
